@@ -1,0 +1,254 @@
+"""Unit tests for the pure-JAX geometry library.
+
+Oracles: numpy closed forms and torch (CPU) where the reference semantics are
+defined by torch ops (resize pixel models, grid_sample).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videogpa_tpu.geometry import (
+    affine_inverse,
+    batch_reproject,
+    closed_form_inverse_se3,
+    depth_to_world_points,
+    extri_intri_to_pose_encoding,
+    mat_to_quat,
+    pose_encoding_to_extri_intri,
+    project_points_zbuffer,
+    quat_to_mat,
+    unproject_depth,
+)
+
+
+def random_rotations(rng, shape):
+    """Uniform-ish random rotation matrices via QR."""
+    a = rng.standard_normal(shape + (3, 3))
+    q, r = np.linalg.qr(a)
+    d = np.sign(np.diagonal(r, axis1=-2, axis2=-1))
+    q = q * d[..., None, :]
+    det = np.linalg.det(q)
+    q[..., :, 0] *= det[..., None]
+    return q
+
+
+class TestRotation:
+    def test_quat_mat_roundtrip(self):
+        rng = np.random.default_rng(0)
+        R = random_rotations(rng, (4, 5))
+        q = mat_to_quat(jnp.asarray(R, jnp.float32))
+        R2 = quat_to_mat(q)
+        np.testing.assert_allclose(np.asarray(R2), R, atol=1e-5)
+
+    def test_mat_quat_mat_identity(self):
+        R = jnp.eye(3)[None]
+        q = mat_to_quat(R)
+        np.testing.assert_allclose(np.asarray(q), [[0, 0, 0, 1]], atol=1e-6)
+
+    def test_quat_normalized_and_scalar_last_positive(self):
+        rng = np.random.default_rng(1)
+        R = random_rotations(rng, (64,))
+        q = np.asarray(mat_to_quat(jnp.asarray(R, jnp.float32)))
+        np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+        assert (q[:, 3] >= 0).all()
+
+    def test_near_180_degree_rotation(self):
+        # The naive trace formula fails here; the 4-candidate one must not.
+        R = np.diag([1.0, -1.0, -1.0])  # 180 deg about x
+        q = mat_to_quat(jnp.asarray(R, jnp.float32)[None])
+        R2 = np.asarray(quat_to_mat(q))[0]
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+
+class TestPoseEnc:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(2)
+        B, S = 2, 4
+        R = random_rotations(rng, (B, S))
+        t = rng.standard_normal((B, S, 3))
+        extr = np.concatenate([R, t[..., None]], axis=-1).astype(np.float32)
+        H, W = 518, 518
+        f = rng.uniform(300, 900, (B, S, 2))
+        intr = np.zeros((B, S, 3, 3), np.float32)
+        intr[..., 0, 0] = f[..., 0]
+        intr[..., 1, 1] = f[..., 1]
+        intr[..., 0, 2] = W / 2
+        intr[..., 1, 2] = H / 2
+        intr[..., 2, 2] = 1
+
+        enc = extri_intri_to_pose_encoding(jnp.asarray(extr), jnp.asarray(intr), (H, W))
+        assert enc.shape == (B, S, 9)
+        extr2, intr2 = pose_encoding_to_extri_intri(enc, (H, W))
+        np.testing.assert_allclose(np.asarray(extr2), extr, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(intr2), intr, rtol=1e-4, atol=1e-2)
+
+
+class TestTransforms:
+    def test_se3_inverse(self):
+        rng = np.random.default_rng(3)
+        R = random_rotations(rng, (5,))
+        t = rng.standard_normal((5, 3))
+        E = np.concatenate([R, t[..., None]], axis=-1).astype(np.float32)
+        inv = np.asarray(closed_form_inverse_se3(jnp.asarray(E)))
+        E44 = np.concatenate(
+            [E, np.tile(np.array([[[0, 0, 0, 1.0]]], np.float32), (5, 1, 1))], axis=1
+        )
+        np.testing.assert_allclose(inv @ E44, np.tile(np.eye(4), (5, 1, 1)), atol=1e-5)
+
+    def test_affine_inverse_matches_linalg(self):
+        rng = np.random.default_rng(4)
+        R = random_rotations(rng, (3,))
+        t = rng.standard_normal((3, 3))
+        A = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        A[:, :3, :3] = R
+        A[:, :3, 3] = t
+        inv = np.asarray(affine_inverse(jnp.asarray(A)))
+        np.testing.assert_allclose(inv, np.linalg.inv(A), atol=1e-5)
+
+    def test_unproject_roundtrip(self):
+        """depth -> world points -> reproject recovers the same pixels."""
+        rng = np.random.default_rng(5)
+        H = W = 16
+        depth = rng.uniform(1.0, 5.0, (1, 2, H, W, 1)).astype(np.float32)
+        K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]], np.float32)
+        K = np.tile(K, (1, 2, 1, 1)).reshape(1, 2, 3, 3)
+        R = random_rotations(rng, (1, 2)).astype(np.float32)
+        t = rng.standard_normal((1, 2, 3)).astype(np.float32)
+        w2c = np.concatenate([R, t[..., None]], axis=-1)
+        c2w = np.asarray(closed_form_inverse_se3(jnp.asarray(w2c)))
+
+        world = unproject_depth(jnp.asarray(depth), jnp.asarray(K), jnp.asarray(c2w))
+        # Reproject: K @ (R p + t) should land on the pixel grid with z = depth
+        cam = np.einsum("bvij,bvhwj->bvhwi", R, np.asarray(world)) + t[:, :, None, None]
+        proj = np.einsum("bvij,bvhwj->bvhwi", np.asarray(K), cam)
+        uv = proj[..., :2] / proj[..., 2:3]
+        uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+        target = uv[..., 0].shape
+        np.testing.assert_allclose(uv[..., 0], np.broadcast_to(uu, target), atol=5e-3)
+        np.testing.assert_allclose(uv[..., 1], np.broadcast_to(vv, target), atol=5e-3)
+        np.testing.assert_allclose(proj[..., 2], depth[..., 0], atol=5e-3)
+
+    def test_depth_to_world_matches_unproject(self):
+        rng = np.random.default_rng(6)
+        H = W = 8
+        depth = rng.uniform(1.0, 5.0, (2, H, W)).astype(np.float32)
+        K = np.array([[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]], np.float32)
+        Ks = np.tile(K, (2, 1, 1))
+        R = random_rotations(rng, (2,)).astype(np.float32)
+        t = rng.standard_normal((2, 3)).astype(np.float32)
+        E = np.concatenate([R, t[..., None]], axis=-1)
+
+        w1 = depth_to_world_points(jnp.asarray(depth), jnp.asarray(E), jnp.asarray(Ks))
+        c2w = closed_form_inverse_se3(jnp.asarray(E))
+        w2 = unproject_depth(
+            jnp.asarray(depth[None, ..., None]), jnp.asarray(Ks[None]), c2w[None]
+        )[0]
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-4)
+
+
+def _painter_render(points, colors, K, E, H, W):
+    """Reference painter's algorithm (z-sorted overwrite), numpy oracle."""
+    R, t = E[:3, :3], E[:3, 3]
+    cam = points @ R.T + t
+    proj = cam @ K.T
+    z = proj[:, 2]
+    u = np.round(proj[:, 0] / (z + 1e-8)).astype(int)
+    v = np.round(proj[:, 1] / (z + 1e-8)).astype(int)
+    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
+    canvas = np.zeros((H, W, 3), np.float64)
+    order = np.argsort(-z[ok], kind="stable")
+    uu, vv = u[ok][order], v[ok][order]
+    cc = np.floor(np.clip(colors[ok][order], 0, 255))
+    for x, y, c in zip(uu, vv, cc):
+        canvas[y, x] = c
+    return canvas
+
+
+class TestSplatting:
+    def test_matches_painter_oracle(self):
+        rng = np.random.default_rng(7)
+        N, H, W = 500, 24, 32
+        points = rng.standard_normal((N, 3)).astype(np.float32)
+        points[:, 2] += 4.0
+        colors = rng.uniform(0, 255, (N, 3)).astype(np.float32)
+        K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+        E = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1).astype(np.float32)
+
+        got = np.asarray(
+            project_points_zbuffer(
+                jnp.asarray(points), jnp.asarray(colors), jnp.asarray(K), jnp.asarray(E), H, W
+            )
+        )
+        want = _painter_render(points, colors, K, E, H, W)
+        # Ties in z are broken differently (lowest-index vs sort order) but
+        # distinct random z values make the winner unique.
+        np.testing.assert_allclose(got, want, atol=0)
+
+    def test_padding_mask(self):
+        points = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 1.0]])
+        colors = jnp.array([[100.0, 0, 0], [0, 200.0, 0]])
+        K = jnp.array([[1.0, 0, 2], [0, 1.0, 2], [0, 0, 1]])
+        E = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+        valid = jnp.array([True, False])
+        canvas = project_points_zbuffer(points, colors, K, E, 4, 4, valid=valid)
+        # nearer point masked out -> the farther (red) one wins
+        np.testing.assert_allclose(np.asarray(canvas[2, 2]), [100, 0, 0])
+
+    def test_batch_reproject_range_and_shape(self):
+        rng = np.random.default_rng(8)
+        points = jnp.asarray(rng.standard_normal((100, 3)), jnp.float32)
+        colors = jnp.asarray(rng.uniform(0, 1, (100, 3)), jnp.float32)  # [0,1] scale
+        K = jnp.tile(jnp.array([[8.0, 0, 8], [0, 8.0, 8], [0, 0, 1]]), (3, 1, 1))
+        E = jnp.tile(
+            jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0], [4]])], axis=1),
+            (3, 1, 1),
+        )
+        frames = batch_reproject(points, colors, K, E, 16, 16)
+        assert frames.shape == (3, 3, 16, 16)
+        assert float(frames.min()) >= -1.0 and float(frames.max()) <= 1.0
+
+
+class TestResize:
+    @pytest.mark.parametrize("align_corners", [False, True])
+    @pytest.mark.parametrize("out_hw", [(7, 9), (32, 48), (10, 10)])
+    def test_bilinear_vs_torch(self, align_corners, out_hw):
+        import torch
+        import torch.nn.functional as F
+
+        from videogpa_tpu.ops.resize import resize_bilinear
+
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((2, 3, 17, 23)).astype(np.float32)
+        want = F.interpolate(
+            torch.from_numpy(x), size=out_hw, mode="bilinear", align_corners=align_corners
+        ).numpy()
+        got = np.asarray(resize_bilinear(jnp.asarray(x), out_hw, align_corners))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_grid_sample_vs_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from videogpa_tpu.ops.resize import grid_sample_bilinear
+
+        rng = np.random.default_rng(10)
+        H = W = 12
+        img = rng.standard_normal((H, W)).astype(np.float32)
+        # Sample coords partially out of bounds
+        u = rng.uniform(-3, W + 2, (H, W)).astype(np.float32)
+        v = rng.uniform(-3, H + 2, (H, W)).astype(np.float32)
+
+        gu = 2 * u / (W - 1) - 1
+        gv = 2 * v / (H - 1) - 1
+        grid = torch.from_numpy(np.stack([gu, gv], axis=-1))[None]
+        want = F.grid_sample(
+            torch.from_numpy(img)[None, None],
+            grid,
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=True,
+        )[0, 0].numpy()
+        got = np.asarray(grid_sample_bilinear(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v)))
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,136 @@
+"""Tests for attention (flash kernel vs XLA reference) and RoPE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import videogpa_tpu.ops.attention as attn_mod
+from videogpa_tpu.ops.attention import attention, mha_reference
+from videogpa_tpu.ops.rope import rope_2d, rope_3d_freqs, apply_rope_interleaved
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    attn_mod.INTERPRET = True
+    yield
+    attn_mod.INTERPRET = False
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("n", [128, 257, 300])
+    def test_forward_matches_reference(self, n):
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, 4, n, 64), jnp.float32)
+        k = jax.random.normal(kk, (2, 4, n, 64), jnp.float32)
+        v = jax.random.normal(kv, (2, 4, n, 64), jnp.float32)
+        got = attention(q, k, v, impl="flash", block_q=128, block_k=128)
+        want = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_cross_attention_lengths(self):
+        key = jax.random.PRNGKey(1)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 100, 32))
+        k = jax.random.normal(kk, (1, 2, 220, 32))
+        v = jax.random.normal(kv, (1, 2, 220, 32))
+        got = attention(q, k, v, impl="flash", block_q=128, block_k=128)
+        want = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        key = jax.random.PRNGKey(2)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 150, 32))
+        k = jax.random.normal(kk, (1, 2, 150, 32))
+        v = jax.random.normal(kv, (1, 2, 150, 32))
+
+        def loss_flash(q, k, v):
+            o = attention(q, k, v, impl="flash", block_q=128, block_k=128)
+            return jnp.sum(o * o)
+
+        def loss_ref(q, k, v):
+            o = mha_reference(q, k, v)
+            return jnp.sum(o * o)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_bf16_forward(self):
+        key = jax.random.PRNGKey(3)
+        q = jax.random.normal(key, (1, 2, 256, 64), jnp.bfloat16)
+        got = attention(q, q, q, impl="flash", block_q=128, block_k=128)
+        want = mha_reference(q, q, q)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+        )
+
+
+class TestRope:
+    def test_rope_2d_vs_reference_formula(self):
+        """Oracle: direct transcription of the duplicated-angle 2D RoPE math."""
+        rng = np.random.default_rng(0)
+        B, H, N, D = 2, 3, 10, 16
+        x = rng.standard_normal((B, H, N, D)).astype(np.float32)
+        pos = rng.integers(0, 20, (B, N, 2))
+
+        def oracle_1d(tok, p, dim, base=100.0):
+            inv = 1.0 / base ** (np.arange(0, dim, 2) / dim)
+            ang = p[..., None] * inv  # (B,N,dim/2)
+            ang = np.concatenate([ang, ang], -1)[:, None]  # (B,1,N,dim)
+            cos, sin = np.cos(ang), np.sin(ang)
+            x1, x2 = tok[..., : dim // 2], tok[..., dim // 2 :]
+            rot = np.concatenate([-x2, x1], -1)
+            return tok * cos + rot * sin
+
+        half = D // 2
+        want = np.concatenate(
+            [
+                oracle_1d(x[..., :half], pos[..., 0], half),
+                oracle_1d(x[..., half:], pos[..., 1], half),
+            ],
+            axis=-1,
+        )
+        got = np.asarray(rope_2d(jnp.asarray(x), jnp.asarray(pos)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_rope_2d_zero_pos_is_identity(self):
+        x = jnp.ones((1, 1, 4, 8))
+        pos = jnp.zeros((1, 4, 2), jnp.int32)
+        np.testing.assert_allclose(np.asarray(rope_2d(x, pos)), np.asarray(x), atol=1e-6)
+
+    def test_rope_3d_preserves_norm(self):
+        cos, sin = rope_3d_freqs((2, 3, 4), 64)
+        assert cos.shape == (24, 64)
+        x = jax.random.normal(jax.random.PRNGKey(0), (24, 64))
+        y = apply_rope_interleaved(x, cos, sin)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(y), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-5,
+        )
+
+
+class TestMesh:
+    def test_make_mesh_8_devices(self):
+        from videogpa_tpu.parallel import MeshAxes, make_mesh
+
+        mesh = make_mesh(MeshAxes(data=2, seq=1, model=4))
+        assert mesh.shape == {"data": 2, "seq": 1, "model": 4}
+
+    def test_sharded_matmul_runs(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from videogpa_tpu.parallel import MeshAxes, make_mesh
+
+        mesh = make_mesh(MeshAxes(data=2, model=4))
+        x = jnp.ones((8, 16))
+        w = jnp.ones((16, 32))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+        ws = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+        y = jax.jit(jnp.dot)(xs, ws)
+        assert y.shape == (8, 32)
+        np.testing.assert_allclose(np.asarray(y), 16.0)

@@ -1,0 +1,94 @@
+"""Bilinear resize / grid-sample with exact torch pixel-model semantics.
+
+The reward pipeline's parity depends on matching PyTorch's two pixel models:
+- ``align_corners=False`` (metric resize, reference ``metrics/mse.py:24-25``):
+  source coord = (x + 0.5) * scale - 0.5, edge-clamped.
+- ``align_corners=True`` (DPT fusion upsample ``vggt/heads/dpt_head.py:239``,
+  MVCS grid_sample ``metrics/mvcs.py:94-101``):
+  source coord = x * (in - 1) / (out - 1).
+
+``jax.image.resize`` implements neither exactly (it uses a different kernel
+normalization at edges), so we gather explicitly. All ops are jit-safe and
+batched over leading dims.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_coords(out_size: int, in_size: int, align_corners: bool, dtype) -> jax.Array:
+    x = jnp.arange(out_size, dtype=dtype)
+    if align_corners:
+        if out_size == 1:
+            return jnp.zeros((1,), dtype)
+        return x * ((in_size - 1) / (out_size - 1))
+    scale = in_size / out_size
+    return (x + 0.5) * scale - 0.5
+
+
+def _gather_1d_weights(coords: jax.Array, in_size: int):
+    """Return (lo_idx, hi_idx, hi_weight) for linear interpolation, edge-clamped."""
+    c = jnp.clip(coords, 0.0, in_size - 1)
+    lo = jnp.floor(c).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    w = c - lo.astype(c.dtype)
+    return lo, hi, w
+
+
+def resize_bilinear(
+    x: jax.Array, out_hw: tuple, align_corners: bool = False
+) -> jax.Array:
+    """Resize (..., H, W) to (..., H', W') with torch-interp semantics."""
+    H, W = x.shape[-2], x.shape[-1]
+    Ho, Wo = out_hw
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x = x.astype(dtype)
+
+    ys = _axis_coords(Ho, H, align_corners, dtype)
+    xs = _axis_coords(Wo, W, align_corners, dtype)
+    y0, y1, wy = _gather_1d_weights(ys, H)
+    x0, x1, wx = _gather_1d_weights(xs, W)
+
+    top = jnp.take(x, y0, axis=-2)
+    bot = jnp.take(x, y1, axis=-2)
+    rows = top * (1 - wy)[..., :, None] + bot * wy[..., :, None]
+    left = jnp.take(rows, x0, axis=-1)
+    right = jnp.take(rows, x1, axis=-1)
+    return left * (1 - wx) + right * wx
+
+
+def grid_sample_bilinear(
+    img: jax.Array, u: jax.Array, v: jax.Array, align_corners: bool = True
+) -> jax.Array:
+    """Sample (H, W) image at float pixel coords with zeros padding.
+
+    Args:
+        img: (H, W) array.
+        u, v: pixel-space sample coordinates, any matching shape.
+            (Convert normalized [-1, 1] grid coords to pixels first:
+            align_corners=True => px = (g + 1) / 2 * (size - 1).)
+
+    Returns:
+        samples with the shape of ``u``; out-of-bounds contributions are zero,
+        matching ``F.grid_sample(padding_mode='zeros')``.
+    """
+    H, W = img.shape
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+    wx = u - x0.astype(u.dtype)
+    wy = v - y0.astype(v.dtype)
+
+    def tap(yi, xi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        val = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inb, val, 0.0)
+
+    return (
+        tap(y0, x0) * (1 - wy) * (1 - wx)
+        + tap(y0, x1) * (1 - wy) * wx
+        + tap(y1, x0) * wy * (1 - wx)
+        + tap(y1, x1) * wy * wx
+    )
