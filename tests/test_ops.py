@@ -134,3 +134,21 @@ class TestMesh:
         y = jax.jit(jnp.dot)(xs, ws)
         assert y.shape == (8, 32)
         np.testing.assert_allclose(np.asarray(y), 16.0)
+
+
+class TestConvTranspose:
+    def test_matches_torch(self):
+        import torch
+        import torch.nn as nn
+
+        from videogpa_tpu.ops.layers import conv_transpose2d
+
+        for k in (2, 4):
+            m = nn.ConvTranspose2d(6, 10, kernel_size=k, stride=k, padding=0)
+            x = torch.randn(2, 6, 5, 7)
+            want = m(x).detach().numpy()
+            # torch weight (in, out, kh, kw) -> HWIO (kh, kw, in, out)
+            wj = jnp.asarray(m.weight.detach().numpy().transpose(2, 3, 0, 1))
+            p = {"kernel": wj, "bias": jnp.asarray(m.bias.detach().numpy())}
+            got = np.asarray(conv_transpose2d(p, jnp.asarray(x.numpy()), stride=k))
+            np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,58 @@
+"""Shape/dtype/smoke tests for the JAX VGGT on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videogpa_tpu.models.vggt import VGGTConfig, vggt_forward, vggt_init
+from videogpa_tpu.models.vggt.aggregator import slice_expand_and_flatten
+
+
+class TestSliceExpandFlatten:
+    def test_first_frame_gets_slot0(self):
+        token = jnp.stack(
+            [jnp.full((1, 2, 4), 1.0), jnp.full((1, 2, 4), 2.0)], axis=1
+        )  # (1, 2, 2, 4)
+        out = slice_expand_and_flatten(token, B=2, S=3)
+        assert out.shape == (6, 2, 4)
+        out = np.asarray(out)
+        # frames 0 of each batch use slot 0 (value 1), others slot 1 (value 2)
+        np.testing.assert_allclose(out[0], 1.0)
+        np.testing.assert_allclose(out[1], 2.0)
+        np.testing.assert_allclose(out[2], 2.0)
+        np.testing.assert_allclose(out[3], 1.0)
+
+
+class TestVGGTForward:
+    def test_shapes(self):
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        B, S, H, W = 1, 3, cfg.img_size, cfg.img_size
+        images = jax.random.uniform(jax.random.PRNGKey(1), (B, S, 3, H, W))
+
+        preds = jax.jit(
+            lambda p, x: vggt_forward(p, x, cfg, attn_impl="xla", compute_dtype=jnp.float32)
+        )(params, images)
+
+        assert preds["pose_enc"].shape == (B, S, 9)
+        assert preds["depth"].shape == (B, S, H, W, 1)
+        assert preds["depth_conf"].shape == (B, S, H, W)
+        assert preds["world_points"].shape == (B, S, H, W, 3)
+        assert preds["world_points_conf"].shape == (B, S, H, W)
+        # fov activations (relu) must be non-negative; conf (expp1) > 1
+        assert float(preds["pose_enc"][..., 7:].min()) >= 0
+        assert float(preds["depth_conf"].min()) > 1.0
+        # depth uses exp activation -> positive
+        assert float(preds["depth"].min()) > 0
+        for k in ("pose_enc", "depth", "world_points"):
+            assert np.isfinite(np.asarray(preds[k])).all(), k
+
+    def test_iterative_camera_refinement_changes(self):
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(2), cfg)
+        images = jax.random.uniform(jax.random.PRNGKey(3), (1, 2, 3, cfg.img_size, cfg.img_size))
+        preds = vggt_forward(params, images, cfg, attn_impl="xla", compute_dtype=jnp.float32)
+        encs = preds["pose_enc_list"]
+        assert len(encs) == cfg.camera_iterations
+        # refinement iterations must differ (deltas accumulate)
+        assert not np.allclose(np.asarray(encs[0]), np.asarray(encs[-1]))

@@ -157,19 +157,21 @@ def conv2d(
 
 
 def conv_transpose2d(p: Params, x: jax.Array, stride: int) -> jax.Array:
-    """NCHW transposed conv, kernel HWIO (in=input channels), VALID padding.
+    """NCHW transposed conv with kernel_size == stride, padding 0.
 
-    Matches torch ``ConvTranspose2d(k, stride=k, padding=0)`` used by the DPT
-    resize pyramid (reference ``vggt/heads/dpt_head.py:76-84``).
+    Exactly matches torch ``ConvTranspose2d(k, stride=k, padding=0)`` used by
+    the DPT resize pyramid (reference ``vggt/heads/dpt_head.py:76-84``):
+    each input pixel expands to a k x k block via an outer product with the
+    (non-flipped) kernel. Implemented as a single einsum (pure MXU matmul)
+    rather than a dilated convolution. Kernel layout HWIO: (k, k, in, out).
     """
-    y = jax.lax.conv_transpose(
-        x,
-        p["kernel"].astype(x.dtype),
-        strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )
+    k = stride
+    w = p["kernel"].astype(x.dtype)
+    assert w.shape[0] == k and w.shape[1] == k, "kernel_size must equal stride"
+    B, C, H, W = x.shape
+    O = w.shape[-1]
+    y = jnp.einsum("bihw,xyio->bohxwy", x, w, preferred_element_type=jnp.float32)
+    y = y.reshape(B, O, H * k, W * k)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)[None, :, None, None]
     return y.astype(x.dtype)

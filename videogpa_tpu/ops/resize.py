@@ -92,3 +92,81 @@ def grid_sample_bilinear(
         + tap(y1, x0) * wy * (1 - wx)
         + tap(y1, x1) * wy * wx
     )
+
+
+# ---------------------------------------------------------------------------
+# Torch-exact bicubic resize (pos-embed interpolation)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402  (host-side weight computation)
+
+
+def _cubic_kernel(t: "np.ndarray", a: float = -0.75) -> "np.ndarray":
+    at = np.abs(t)
+    w = np.where(
+        at <= 1,
+        (a + 2) * at ** 3 - (a + 3) * at ** 2 + 1,
+        np.where(at < 2, a * at ** 3 - 5 * a * at ** 2 + 8 * a * at - 4 * a, 0.0),
+    )
+    return w
+
+
+def _bicubic_weights_1d(
+    in_size: int, out_size: int, align_corners: bool, antialias: bool
+) -> "np.ndarray":
+    """(out_size, in_size) weight matrix reproducing torch F.interpolate bicubic.
+
+    Indices are edge-clamped (border replicate); antialiased weights are
+    renormalized, matching torch's upsample_bicubic2d_aa.
+    """
+    W = np.zeros((out_size, in_size), np.float64)
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        centers = np.arange(out_size) * scale
+    else:
+        scale = in_size / out_size
+        centers = (np.arange(out_size) + 0.5) * scale - 0.5
+
+    if antialias and not align_corners:
+        # PIL-style resampling (aten upsample_*2d_aa): half-pixel centers,
+        # clipped (not replicated) borders, normalized weights.
+        s = max(scale, 1.0)
+        support = 2.0 * s
+        inv = 1.0 / s
+        for i in range(out_size):
+            center = scale * (i + 0.5)
+            lo = max(0, int(center - support + 0.5))
+            hi = min(in_size, int(center + support + 0.5))
+            j = np.arange(lo, hi)
+            # the AA path uses the PIL cubic kernel (a=-0.5), unlike the
+            # non-AA path's a=-0.75
+            w = _cubic_kernel((j - center + 0.5) * inv, a=-0.5)
+            w = w / w.sum()
+            W[i, j] = w
+    else:
+        for i, c in enumerate(centers):
+            f = int(np.floor(c))
+            j = np.arange(f - 1, f + 3)
+            w = _cubic_kernel(j - c)
+            np.add.at(W[i], np.clip(j, 0, in_size - 1), w)
+    return W.astype(np.float32)
+
+
+def resize_bicubic(
+    x: jax.Array,
+    out_hw: tuple,
+    align_corners: bool = False,
+    antialias: bool = False,
+) -> jax.Array:
+    """Resize (..., H, W) with torch bicubic semantics (incl. antialias).
+
+    The interpolation weights depend only on static sizes, so they are
+    precomputed host-side and applied as two MXU matmuls.
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    Ho, Wo = out_hw
+    wh = jnp.asarray(_bicubic_weights_1d(H, Ho, align_corners, antialias))
+    ww = jnp.asarray(_bicubic_weights_1d(W, Wo, align_corners, antialias))
+    y = jnp.einsum("oh,...hw->...ow", wh, x.astype(jnp.float32))
+    y = jnp.einsum("ow,...hw->...ho", ww, y)
+    return y.astype(x.dtype)
