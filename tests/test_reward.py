@@ -1,0 +1,89 @@
+"""End-to-end reward pipeline smoke test: video file -> scores dict."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videogpa_tpu.data.video_io import sample_uniform_frames, write_video
+from videogpa_tpu.metrics import (
+    ConsistencyScore,
+    EpipolarMetric,
+    MSEMetric,
+    MVCSMetric,
+    PSNRMetric,
+    SSIMMetric,
+)
+from videogpa_tpu.models.vggt import VGGTConfig, vggt_init
+from videogpa_tpu.reward import VideoProcessor
+
+
+def _textured_video(T=6, H=96, W=128, seed=0):
+    """Moving textured pattern (gives SIFT something to match)."""
+    rng = np.random.default_rng(seed)
+    base = (rng.uniform(0, 255, (H * 2, W * 2, 3))).astype(np.uint8)
+    import cv2
+
+    base = cv2.GaussianBlur(base, (0, 0), 2)
+    frames = []
+    for t in range(T):
+        frames.append(base[t * 2 : t * 2 + H, t * 3 : t * 3 + W])
+    return np.stack(frames)
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("vids") / "clip.mp4")
+    write_video(p, _textured_video(), fps=8)
+    return p
+
+
+class TestVideoIO:
+    def test_roundtrip_and_sampling(self, video_path):
+        frames = sample_uniform_frames(video_path, n_frames=4, size=56)
+        assert frames.shape == (4, 56, 56, 3)
+        assert frames.dtype == np.uint8
+
+    def test_sampling_caps_at_total(self, video_path):
+        frames = sample_uniform_frames(video_path, n_frames=100, size=56)
+        assert frames.shape[0] == 6
+
+
+class TestVideoProcessor:
+    def test_end_to_end_scores(self, video_path):
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        metrics = {
+            "MSE": MSEMetric(),
+            "Consistency_Score": ConsistencyScore(lpips_params=None),
+            "MVCS": MVCSMetric(),
+            "PSNR": PSNRMetric(),
+            "SSIM": SSIMMetric(),
+            "Epipolar": EpipolarMetric(),
+        }
+        vp = VideoProcessor(
+            metrics,
+            params=params,
+            config=cfg,
+            compute_dtype=jnp.float32,
+            attn_impl="xla",
+        )
+        # tiny config takes 56x56 inputs
+        frames = sample_uniform_frames(video_path, n_frames=3, size=cfg.img_size)
+        results = vp.process_frames(frames, thresholds=[0])
+
+        res = results[0]
+        for key in ("MSE", "Consistency_Score", "motion_norm", "MVCS", "PSNR", "SSIM", "Epipolar"):
+            assert key in res, key
+            assert np.isfinite(res[key]), (key, res[key])
+        assert "_extrinsic" in results
+        assert np.asarray(results["_extrinsic"]).shape == (3, 3, 4)
+        # random model => reprojection is poor; scores must still be sane
+        assert 0 <= res["MSE"] <= 1
+        assert -1 <= res["SSIM"] <= 1
+
+    def test_da3_backbone_not_yet(self):
+        with pytest.raises(NotImplementedError):
+            VideoProcessor({}, backbone="da3")

@@ -1,0 +1,215 @@
+"""VideoProcessor: backbone-pluggable 3D-consistency reward engine.
+
+Parity target: reference ``pipelines/process_video.py:17-202``. For a video:
+sample frames uniformly -> geometry backbone (VGGT; DA3 planned) -> colored
+point cloud at a confidence threshold -> reproject into every camera ->
+metric suite on (original, reprojected) frames.
+
+TPU design: everything from the model forward to the reprojected frames is
+ONE jitted graph (static num_frames), so the whole reward evaluation is a
+single device program — no host round-trips between the backbone, the
+point-cloud filter and the splatting renderer. Host work is only video decode
+and SIFT keypoints (epipolar metric).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videogpa_tpu.data.video_io import preprocess_images_vggt, sample_uniform_frames
+from videogpa_tpu.geometry import (
+    batch_reproject,
+    depth_to_world_points,
+    pose_encoding_to_extri_intri,
+)
+from videogpa_tpu.models.vggt import VGGTConfig, vggt_forward
+from videogpa_tpu.reward.pointcloud import colored_pointcloud
+
+DEFAULT_VGGT_MODEL = "facebook/VGGT-1B"
+DEFAULT_DA3_MODEL = "depth-anything/DA3-Large"
+
+
+class VideoProcessor:
+    """Compute 3D-consistency scores for generated videos.
+
+    Args:
+        metrics: dict name -> Metric (see ``videogpa_tpu.metrics.build_metrics``).
+        params: converted backbone params (pytree). Required for real scoring.
+        config: backbone config (default: VGGT-1B geometry).
+        backbone: "vggt" (default) or "da3"; also honors the
+            VIDEO_PROCESSOR_BACKBONE env var like the reference.
+        compute_dtype: trunk dtype (bfloat16 on TPU).
+    """
+
+    def __init__(
+        self,
+        metrics: Dict[str, Any],
+        params: Optional[dict] = None,
+        config: Optional[VGGTConfig] = None,
+        model_name: Optional[str] = None,
+        backbone: Optional[str] = None,
+        compute_dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+    ):
+        self.metrics = metrics
+        self.backbone = self._resolve_backbone(backbone, model_name)
+        if self.backbone == "da3":
+            raise NotImplementedError(
+                "DA3 backbone is scheduled for a later stage (SURVEY.md §7.9); "
+                "use backbone='vggt'"
+            )
+        self.config = config or VGGTConfig()
+        self.params = params
+        self.compute_dtype = compute_dtype
+        self.attn_impl = attn_impl
+        self._forward_cache: Dict[Any, Any] = {}
+
+    @staticmethod
+    def _resolve_backbone(backbone, model_name) -> str:
+        if backbone:
+            return backbone.lower()
+        env_backbone = os.getenv("VIDEO_PROCESSOR_BACKBONE")
+        if env_backbone:
+            return env_backbone.lower()
+        if model_name and "depth-anything" in model_name.lower():
+            return "da3"
+        return "vggt"
+
+    # ------------------------------------------------------------------
+    # Device graph
+    # ------------------------------------------------------------------
+
+    def _device_fn(self, conf_thres: float):
+        key = ("vggt", conf_thres)
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+
+        cfg = self.config
+        compute_dtype = self.compute_dtype
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, static_argnums=())
+        def run(params, images):
+            # images: (1, S, 3, H, W) in [0, 1]
+            preds = vggt_forward(
+                params, images, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype
+            )
+            H, W = images.shape[-2:]
+            extr, intr = pose_encoding_to_extri_intri(preds["pose_enc"], (H, W))
+            extr, intr = extr[0], intr[0]  # squeeze batch
+            depth = preds["depth"][0, ..., 0]  # (S, H, W)
+            world = depth_to_world_points(depth, extr, intr)
+
+            squeezed = {
+                "world_points_from_depth": world,
+                "depth_conf": preds["depth_conf"][0],
+                "images": images[0],
+            }
+            pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
+            reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask)
+            return {
+                "reprojected": reproj,  # (S, 3, H, W) in [-1, 1]
+                "extrinsic": extr,
+                "intrinsic": intr,
+                "depth": depth,
+            }
+
+        self._forward_cache[key] = run
+        return run
+
+    # ------------------------------------------------------------------
+    # Public API (reference-compatible)
+    # ------------------------------------------------------------------
+
+    def process(
+        self,
+        video_path: str,
+        thresholds,
+        num_frames: int,
+        save_visuals: bool = False,
+        out_dir: Optional[str] = None,
+    ) -> Dict[Any, Any]:
+        frames_np = sample_uniform_frames(video_path, n_frames=num_frames)
+        return self.process_frames(frames_np, thresholds, save_visuals, out_dir)
+
+    def process_frames(
+        self,
+        frames_np: np.ndarray,
+        thresholds,
+        save_visuals: bool = False,
+        out_dir: Optional[str] = None,
+    ) -> Dict[Any, Any]:
+        """frames_np: (T, H, W, 3) uint8 RGB (pre-cropped)."""
+        if self.params is None:
+            raise RuntimeError(
+                "VideoProcessor needs converted backbone params "
+                "(videogpa_tpu.models.vggt.convert.convert_vggt)"
+            )
+        images = jnp.asarray(preprocess_images_vggt(frames_np))
+
+        results: Dict[Any, Any] = {}
+        extr_np = None
+        for th in thresholds:
+            out = self._device_fn(float(th))(self.params, images)
+            extr_np = np.asarray(out["extrinsic"])
+            if save_visuals and out_dir is not None:
+                self._dump_reprojections(out["reprojected"], out_dir, th)
+            results[th] = self.compute_metrics(
+                frames_np,
+                out["reprojected"],
+                out["extrinsic"],
+                intrinsics=out["intrinsic"],
+                depths=out["depth"],
+            )
+        results["_extrinsic"] = extr_np.tolist() if extr_np is not None else None
+        return results
+
+    def compute_metrics(
+        self, gt_frames, rep_frames, extrinsics, intrinsics=None, depths=None
+    ) -> Dict[str, float]:
+        results: Dict[str, float] = {}
+        for name, metric_fn in self.metrics.items():
+            if name == "Consistency_Score":
+                score, motion = metric_fn.compute(
+                    gt=gt_frames, rep=rep_frames, extrinsics=extrinsics
+                )
+                results[name] = score
+                results["motion_norm"] = motion
+            elif name == "MVCS":
+                results[name] = metric_fn.compute(
+                    gt=gt_frames,
+                    rep=rep_frames,
+                    depths=depths,
+                    intrinsics=intrinsics,
+                    extrinsics=self._to_44(extrinsics),
+                )
+            else:
+                results[name] = metric_fn.compute(gt=gt_frames, rep=rep_frames)
+        return results
+
+    @staticmethod
+    def _to_44(extr):
+        extr = jnp.asarray(extr)
+        if extr.shape[-2:] == (3, 4):
+            bottom = jnp.broadcast_to(
+                jnp.array([0.0, 0, 0, 1]), extr.shape[:-2] + (1, 4)
+            )
+            extr = jnp.concatenate([extr, bottom], axis=-2)
+        return extr
+
+    @staticmethod
+    def _dump_reprojections(reproj, out_dir: str, th) -> None:
+        import cv2
+
+        d = os.path.join(out_dir, f"th{th}", "reprojections")
+        os.makedirs(d, exist_ok=True)
+        imgs = np.asarray((reproj + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        for i, img in enumerate(imgs.transpose(0, 2, 3, 1)):
+            cv2.imwrite(os.path.join(d, f"{i:03d}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
