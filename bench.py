@@ -1,0 +1,102 @@
+"""Headline benchmark: CogVideoX-5B denoise steps/sec/chip (49f @ 480x720).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The metric matches BASELINE.json's north star ("Denoise steps/sec/chip,
+CogVideoX-5B 49f@720p"): one CFG denoising step = one DiT forward at batch 2
+(uncond + cond), 13 latent frames x 60 x 90, bf16. The reference publishes no
+number (BASELINE.md); vs_baseline is computed against 0.20 steps/sec — an
+estimate of the reference diffusers pipeline on its intended single GPU
+(50-step CogVideoX-5B sample in ~4-5 min), recorded here so future rounds are
+comparable against a fixed denominator.
+
+A secondary metric (reward clips/min through full-size VGGT) is included in
+the JSON extras when VIDEOGPA_BENCH_REWARD=1.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 0.20
+
+
+def bench_denoise():
+    import jax
+    import jax.numpy as jnp
+
+    from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_forward, dit_init
+
+    cfg = CogVideoXConfig.cogvideox_5b()
+    params = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+
+    B, F = 2, 13  # CFG pair, 49 pixel frames
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, F, 16, 60, 90), jnp.bfloat16)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (B, 226, 4096), jnp.bfloat16)
+    t = jnp.full((B,), 500)
+
+    f = jax.jit(lambda p, x, txt, t: jnp.sum(dit_forward(p, x, txt, t, cfg)))
+    float(np.asarray(f(params, x, txt, t)))  # compile
+    n_iter = 3
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(n_iter):
+        r = f(params, x, txt, t)
+    float(np.asarray(r))
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt, dt
+
+
+def bench_reward():
+    import jax
+    import jax.numpy as jnp
+
+    from videogpa_tpu.metrics import (
+        ConsistencyScore,
+        MSEMetric,
+        MVCSMetric,
+        PSNRMetric,
+        SSIMMetric,
+    )
+    from videogpa_tpu.models.vggt import VGGTConfig, vggt_init
+    from videogpa_tpu.reward import VideoProcessor
+
+    cfg = VGGTConfig()
+    params = vggt_init(jax.random.PRNGKey(0), cfg)
+    metrics = {
+        "MSE": MSEMetric(),
+        "Consistency_Score": ConsistencyScore(None),
+        "MVCS": MVCSMetric(),
+        "PSNR": PSNRMetric(),
+        "SSIM": SSIMMetric(),
+    }
+    vp = VideoProcessor(metrics, params=params, config=cfg)
+    frames = np.random.default_rng(0).integers(
+        0, 255, (10, 518, 518, 3), dtype=np.uint8
+    )
+    vp.process_frames(frames, thresholds=[0])  # compile
+    t0 = time.perf_counter()
+    vp.process_frames(frames, thresholds=[0])
+    dt = time.perf_counter() - t0
+    return 60.0 / dt
+
+
+def main():
+    steps_per_sec, dt = bench_denoise()
+    result = {
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec (CogVideoX-5B, CFG pair, 49f@480x720, bf16)",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "step_ms": round(dt * 1000, 1),
+    }
+    if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
+        result["reward_clips_per_min"] = round(bench_reward(), 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
