@@ -1,0 +1,137 @@
+"""Wan2.2 family tests: flow matching, DiT, VAE, pipeline, DPO step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videogpa_tpu.models.wan import (
+    WanConfig,
+    flow_add_noise,
+    flow_velocity_target,
+    sigma_from_timestep,
+    ti2v_timestep_tokens,
+    wan_forward,
+    wan_init,
+)
+from videogpa_tpu.models.wan.pipeline import sample_ti2v, shifted_sigmas
+from videogpa_tpu.models.wan.vae import wan_vae_decode, wan_vae_encode, wan_vae_init
+from videogpa_tpu.train.lora import lora_init
+from videogpa_tpu.train.trainer import TrainerConfig, init_train_state
+from videogpa_tpu.train.wan_trainer import make_wan_dpo_train_step
+
+
+class TestFlowMatch:
+    def test_sigma_endpoints_and_shift(self):
+        t = jnp.array([0, 500, 1000])
+        s = sigma_from_timestep(t, 1000, shift=5.0)
+        np.testing.assert_allclose(np.asarray(s), [0.0, 5 * 0.5 / 3.0, 1.0], atol=1e-6)
+
+    def test_add_noise_and_velocity_consistency(self):
+        """d z_sigma / d sigma must equal the velocity target eps - z0."""
+        z0 = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4))
+        eps = jax.random.normal(jax.random.PRNGKey(1), z0.shape)
+        s1, s2 = jnp.array([0.3]), jnp.array([0.4])
+        z1 = flow_add_noise(z0, eps, s1)
+        z2 = flow_add_noise(z0, eps, s2)
+        v = flow_velocity_target(z0, eps)
+        np.testing.assert_allclose(
+            np.asarray((z2 - z1) / 0.1), np.asarray(v), atol=1e-5
+        )
+
+    def test_ti2v_tokens_first_frame_zero(self):
+        t = jnp.array([700.0, 300.0])
+        tok = ti2v_timestep_tokens(t, (3, 4, 4), (1, 2, 2))
+        assert tok.shape == (2, 3 * 2 * 2)
+        np.testing.assert_allclose(np.asarray(tok[0, :4]), 0.0)
+        np.testing.assert_allclose(np.asarray(tok[0, 4:]), 700.0)
+        np.testing.assert_allclose(np.asarray(tok[1, 4:]), 300.0)
+
+
+class TestWanDiT:
+    def test_shapes_scalar_and_per_token_t(self):
+        cfg = WanConfig.tiny()
+        params = wan_init(jax.random.PRNGKey(0), cfg)
+        B, F, H, W = 2, 3, 8, 8
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.in_channels, F, H, W))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.text_len, cfg.text_dim))
+        t = jnp.array([500.0, 100.0])
+        out = wan_forward(params, x, t, ctx, cfg, attn_impl="xla", compute_dtype=jnp.float32)
+        assert out.shape == (B, cfg.out_channels, F, H, W)
+        assert np.isfinite(np.asarray(out)).all()
+
+        t_tok = ti2v_timestep_tokens(t, (F, H, W), cfg.patch_size)
+        out2 = wan_forward(params, x, t_tok, ctx, cfg, attn_impl="xla", compute_dtype=jnp.float32)
+        assert out2.shape == out.shape
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_rope_axis_dims_sum(self):
+        cfg = WanConfig.ti2v_5b()
+        assert sum(cfg.rope_axis_dims) == cfg.head_dim
+        assert all(d % 2 == 0 for d in cfg.rope_axis_dims)
+
+
+class TestWanVAE:
+    def test_roundtrip_shapes(self):
+        cfg = WanConfig.tiny()
+        params = wan_vae_init(jax.random.PRNGKey(0), cfg)
+        vid = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 9, 64, 64))
+        lat = wan_vae_encode(params, vid, cfg, key=jax.random.PRNGKey(2))
+        assert lat.shape == (1, cfg.vae_z_dim, 3, 4, 4)  # (4,16,16) compression
+        rec = wan_vae_decode(params, lat, cfg)
+        assert rec.shape == vid.shape
+        assert np.isfinite(np.asarray(rec)).all()
+
+
+class TestWanPipeline:
+    def test_sigma_grid(self):
+        s = np.asarray(shifted_sigmas(10, 5.0))
+        assert s[0] == 1.0 and abs(s[-1]) < 1e-7
+        assert (np.diff(s) < 0).all()
+
+    def test_ti2v_smoke(self):
+        cfg = WanConfig.tiny()
+        dit_params = wan_init(jax.random.PRNGKey(0), cfg)
+        vae_params = wan_vae_init(jax.random.PRNGKey(1), cfg)
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+        image = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 64, 64)) * 2 - 1
+        video = sample_ti2v(
+            dit_params, vae_params, ctx, jnp.zeros_like(ctx), cfg,
+            jax.random.PRNGKey(4), image=image, num_frames=9,
+            height=64, width=64, num_steps=2,
+            attn_impl="xla", compute_dtype=jnp.float32,
+        )
+        assert video.shape == (1, 3, 9, 64, 64)
+        assert np.isfinite(np.asarray(video)).all()
+
+
+class TestWanDPOStep:
+    def test_step_runs(self):
+        cfg = WanConfig.tiny()
+        base = wan_init(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainerConfig(
+            learning_rate=1e-3, beta=1.0, warmup_steps=2, max_steps=10,
+            lora_rank=4, lora_alpha=8.0, compute_dtype=jnp.float32,
+            remat=False, attn_impl="xla",
+        )
+        lora = lora_init(jax.random.PRNGKey(1), cfg.num_layers, cfg.dim, rank=4)
+        state = init_train_state(lora, tcfg)
+        train_step, eval_step = make_wan_dpo_train_step(base, cfg, tcfg)
+
+        rng = np.random.default_rng(0)
+        B, C, F, H, W = 2, cfg.in_channels, 3, 8, 8
+        batch = {
+            "x_win": jnp.asarray(rng.standard_normal((B, C, F, H, W)), jnp.float32),
+            "x_lose": jnp.asarray(rng.standard_normal((B, C, F, H, W)), jnp.float32),
+            "prompt_emb": jnp.asarray(
+                rng.standard_normal((B, cfg.text_len, cfg.text_dim)), jnp.float32
+            ),
+            "image_latent": jnp.asarray(
+                rng.standard_normal((B, C, 1, H, W)), jnp.float32
+            ),
+        }
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(5))
+        # at LoRA zero-init policy == reference -> exact log(2)
+        np.testing.assert_allclose(float(metrics["loss"]), np.log(2.0), atol=1e-5)
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(5))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 2

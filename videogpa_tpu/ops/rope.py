@@ -62,6 +62,7 @@ def rope_3d_freqs(
     grid_tfw: Tuple[int, int, int],
     head_dim: int,
     theta: float = 10000.0,
+    axis_dims: Tuple[int, int, int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Precompute CogVideoX-style 3D rotary cos/sin tables.
 
@@ -77,9 +78,10 @@ def rope_3d_freqs(
         :func:`apply_rope_interleaved`.
     """
     T, H, W = grid_tfw
-    dim_t = head_dim // 4
-    dim_h = head_dim // 8 * 3
-    dim_w = head_dim // 8 * 3
+    if axis_dims is None:
+        # CogVideoX split; Wan uses (d - 4*(d//6)*... ) -> pass axis_dims
+        axis_dims = (head_dim // 4, head_dim // 8 * 3, head_dim // 8 * 3)
+    dim_t, dim_h, dim_w = axis_dims
 
     def axis_angles(n, dim):
         exponents = jnp.arange(0, dim, 2, dtype=jnp.float32) / dim

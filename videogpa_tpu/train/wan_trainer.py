@@ -1,0 +1,97 @@
+"""Wan2.2-TI2V DPO train step (flow matching).
+
+Parity target: reference ``train/Wan2.2-TI2V-5B/03_train.py:189-242`` —
+shifted-sigma flow-matching noise, clean image latent as the first temporal
+frame, per-token timestep tensor with t=0 on first-frame tokens, shared
+noise/timestep for the win/lose pair, velocity target eps - z0.
+
+Same TPU layout as the CogVideoX trainer: policy = base + LoRA, reference =
+bare base (one copy of the 5B weights in HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from videogpa_tpu.models.wan.config import WanConfig
+from videogpa_tpu.models.wan.dit import wan_forward
+from videogpa_tpu.models.wan.flow_match import (
+    flow_add_noise,
+    flow_velocity_target,
+    sigma_from_timestep,
+    ti2v_timestep_tokens,
+)
+from videogpa_tpu.train.loss import DPOLoss
+from videogpa_tpu.train.trainer import TrainerConfig, TrainState, make_optimizer
+
+
+def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
+    loss_fn_obj = DPOLoss(beta=tcfg.beta)
+    optimizer = make_optimizer(tcfg)
+    lora_scaling = tcfg.lora_alpha / tcfg.lora_rank
+
+    def forward(lora, latents, t, context):
+        return wan_forward(
+            base_params, latents, t, context, cfg,
+            attn_impl=tcfg.attn_impl, remat=tcfg.remat,
+            compute_dtype=tcfg.compute_dtype, lora=lora, lora_scaling=lora_scaling,
+        )
+
+    def shared_step(lora, batch: Dict[str, jax.Array], key: jax.Array):
+        x_win = batch["x_win"]  # (B, C, F, H, W)
+        x_lose = batch["x_lose"]
+        context = batch["prompt_emb"]
+        image_latent = batch.get("image_latent")
+        B, _, F, H, W = x_win.shape
+
+        k_t, k_noise = jax.random.split(key)
+        timesteps = jax.random.randint(k_t, (B,), 1, cfg.num_train_timesteps)
+        sigma = sigma_from_timestep(timesteps, cfg.num_train_timesteps, cfg.shift)
+        noise = jax.random.normal(k_noise, x_win.shape, jnp.float32)
+
+        x_win_noisy = flow_add_noise(x_win, noise, sigma)
+        x_lose_noisy = flow_add_noise(x_lose, noise, sigma)
+        if image_latent is not None:
+            x_win_noisy = x_win_noisy.at[:, :, 0:1].set(image_latent)
+            x_lose_noisy = x_lose_noisy.at[:, :, 0:1].set(image_latent)
+
+        t_tokens = ti2v_timestep_tokens(timesteps, (F, H, W), cfg.patch_size)
+
+        v_win = forward(lora, x_win_noisy, t_tokens, context)
+        v_lose = forward(lora, x_lose_noisy, t_tokens, context)
+        v_win_ref = jax.lax.stop_gradient(forward(None, x_win_noisy, t_tokens, context))
+        v_lose_ref = jax.lax.stop_gradient(forward(None, x_lose_noisy, t_tokens, context))
+
+        v_win_target = flow_velocity_target(x_win, noise)
+        v_lose_target = flow_velocity_target(x_lose, noise)
+
+        out = loss_fn_obj(
+            v_win, v_lose, v_win_ref, v_lose_ref, v_win_target, v_lose_target
+        )
+        return out.loss, {
+            "loss": out.loss,
+            "reward_margin": out.reward_margin,
+            "reward_accuracy": out.accuracy,
+        }
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(shared_step, has_aux=True)(
+            state.lora, batch, key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(lora, opt_state, state.step + 1), metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, key):
+        _, metrics = shared_step(state.lora, batch, key)
+        return metrics
+
+    return train_step, eval_step
