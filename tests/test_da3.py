@@ -1,0 +1,107 @@
+"""DA3 tests: AA-ViT behavior, heads, full forward, scorer integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videogpa_tpu.models.da3 import DA3Config, da3_forward, da3_inference, da3_init
+from videogpa_tpu.models.da3.vit import (
+    _reorder_perm,
+    aavit_forward,
+    aavit_init,
+    select_reference_view,
+)
+
+
+class TestRefViewSelection:
+    def test_single_batch_valid_index(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 7, 16))
+        idx = select_reference_view(x)
+        assert idx.shape == (2,)
+        assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 5).all()
+
+    def test_reorder_perm(self):
+        perm = np.asarray(_reorder_perm(jnp.array([2, 0]), 5))
+        np.testing.assert_array_equal(perm[0], [2, 0, 1, 3, 4])
+        np.testing.assert_array_equal(perm[1], [0, 1, 2, 3, 4])
+        # inverse restores
+        inv = np.argsort(perm[0])
+        np.testing.assert_array_equal(perm[0][inv], np.arange(5))
+
+
+class TestAAViT:
+    def test_output_shapes(self):
+        cfg = DA3Config.tiny()
+        params = aavit_init(jax.random.PRNGKey(0), cfg)
+        B, S = 1, 4  # S >= 3 triggers ref-view reorder
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (B, S, 3, cfg.img_size, cfg.img_size))
+        feats = aavit_forward(params, imgs, cfg, attn_impl="xla")
+        assert len(feats) == len(cfg.out_layers)
+        P = (cfg.img_size // cfg.patch_size) ** 2
+        for tokens, cam in feats:
+            assert tokens.shape == (B, S, P, cfg.tokens_dim)
+            assert cam.shape == (B, S, cfg.tokens_dim)
+
+    def test_two_views_no_reorder_path(self):
+        cfg = DA3Config.tiny()
+        params = aavit_init(jax.random.PRNGKey(0), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 3, cfg.img_size, cfg.img_size))
+        feats = aavit_forward(params, imgs, cfg, attn_impl="xla")
+        assert feats[0][0].shape[1] == 2
+
+
+class TestDA3Forward:
+    def test_full_forward(self):
+        cfg = DA3Config.tiny()
+        params = da3_init(jax.random.PRNGKey(0), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 3, cfg.img_size, cfg.img_size))
+        out = da3_forward(params, imgs, cfg, attn_impl="xla")
+        S, H = 3, cfg.img_size
+        assert out["depth"].shape == (1, S, H, H)
+        assert out["depth_conf"].shape == (1, S, H, H)
+        # aux (ray) head is NOT upsampled to full res in the reference either
+        ray_hw = 2 * 4 * (cfg.img_size // cfg.patch_size)
+        assert out["ray"].shape == (1, S, ray_hw, ray_hw, 6)
+        assert out["extrinsics"].shape == (1, S, 3, 4)
+        assert out["intrinsics"].shape == (1, S, 3, 3)
+        assert float(out["depth"].min()) > 0  # exp activation
+        assert float(out["depth_conf"].min()) > 1  # expp1
+        assert np.isfinite(np.asarray(out["extrinsics"])).all()
+
+    def test_inference_api(self):
+        cfg = DA3Config.tiny()
+        params = da3_init(jax.random.PRNGKey(0), cfg)
+        frames = np.random.default_rng(0).integers(
+            0, 255, (3, cfg.img_size, cfg.img_size, 3), dtype=np.uint8
+        )
+        pred = da3_inference(params, frames, cfg, attn_impl="xla",
+                             compute_dtype=jnp.float32)
+        assert pred.depth.shape == (3, cfg.img_size, cfg.img_size)
+        assert pred.extrinsics.shape == (3, 3, 4)
+        assert pred.processed_images.max() > 1.0  # uint8 scale
+
+
+class TestDA3Scorer:
+    def test_video_processor_da3(self):
+        from videogpa_tpu.metrics import ConsistencyScore, MSEMetric, MVCSMetric
+        from videogpa_tpu.reward import VideoProcessor
+
+        cfg = DA3Config.tiny()
+        params = da3_init(jax.random.PRNGKey(0), cfg)
+        metrics = {
+            "MSE": MSEMetric(),
+            "Consistency_Score": ConsistencyScore(lpips_params=None),
+            "MVCS": MVCSMetric(),
+        }
+        vp = VideoProcessor(
+            metrics, params=params, config=cfg, backbone="da3",
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        frames = np.random.default_rng(1).integers(
+            0, 255, (3, cfg.img_size, cfg.img_size, 3), dtype=np.uint8
+        )
+        results = vp.process_frames(frames, thresholds=[0])
+        res = results[0]
+        for k in ("MSE", "Consistency_Score", "motion_norm", "MVCS"):
+            assert np.isfinite(res[k]), (k, res[k])
+        assert np.asarray(results["_extrinsic"]).shape == (3, 3, 4)

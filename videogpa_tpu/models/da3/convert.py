@@ -1,0 +1,99 @@
+"""DA3 torch checkpoint -> JAX params conversion.
+
+Key layout follows the reference module tree (``depth_anything_3/model/da3.py``
+assembly: ``backbone.pretrained`` DINOv2 AA-ViT, ``head`` DualDPT,
+``cam_dec`` CameraDec; checkpoint keys are normalized by the reference's
+``utils/model_loading.py`` remapping before save).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import numpy as np
+
+from videogpa_tpu.convert import t_array, t_conv2d, t_conv_transpose2d, t_layernorm, t_linear
+from videogpa_tpu.models.da3.config import DA3Config
+from videogpa_tpu.models.vggt.convert import _convert_block
+from videogpa_tpu.ops import layers as L
+
+
+def _convert_aavit(sd: Mapping[str, np.ndarray], cfg: DA3Config, pfx: str) -> dict:
+    pre = [
+        _convert_block(sd, f"{pfx}.blocks.{i}", qk_norm=False, ls=True)
+        for i in range(cfg.alt_start)
+    ]
+    alt = [
+        _convert_block(sd, f"{pfx}.blocks.{i}", qk_norm=True, ls=True)
+        for i in range(cfg.alt_start, cfg.depth)
+    ]
+    return {
+        "patch_embed": t_conv2d(sd, f"{pfx}.patch_embed.proj"),
+        "cls_token": t_array(sd, f"{pfx}.cls_token"),
+        "pos_embed": t_array(sd, f"{pfx}.pos_embed"),
+        "camera_token": t_array(sd, f"{pfx}.camera_token"),
+        "blocks_pre": L.stack_params(pre),
+        "blocks_alt": alt,
+        "norm": t_layernorm(sd, f"{pfx}.norm"),
+    }
+
+
+def _convert_fusion(sd, pfx):
+    def rcu(rp):
+        return {"conv1": t_conv2d(sd, f"{rp}.conv1"), "conv2": t_conv2d(sd, f"{rp}.conv2")}
+
+    p = {"out_conv": t_conv2d(sd, f"{pfx}.out_conv"), "rcu2": rcu(f"{pfx}.resConfUnit2")}
+    if f"{pfx}.resConfUnit1.conv1.weight" in sd:
+        p["rcu1"] = rcu(f"{pfx}.resConfUnit1")
+    return p
+
+
+def _convert_dualdpt(sd: Mapping[str, np.ndarray], cfg: DA3Config, pfx: str) -> dict:
+    n_aux_convs = cfg.aux_out1_conv_num
+    aux1 = []
+    for lvl in range(4):
+        aux1.append(
+            [
+                t_conv2d(sd, f"{pfx}.scratch.output_conv1_aux.{lvl}.{j}")
+                for j in range(n_aux_convs)
+            ]
+        )
+    return {
+        "norm": t_layernorm(sd, f"{pfx}.norm"),
+        "projects": [t_conv2d(sd, f"{pfx}.projects.{i}") for i in range(4)],
+        "resize0": t_conv_transpose2d(sd, f"{pfx}.resize_layers.0"),
+        "resize1": t_conv_transpose2d(sd, f"{pfx}.resize_layers.1"),
+        "resize3": t_conv2d(sd, f"{pfx}.resize_layers.3"),
+        "layer_rn": [t_conv2d(sd, f"{pfx}.scratch.layer{i + 1}_rn") for i in range(4)],
+        "refinenet1": _convert_fusion(sd, f"{pfx}.scratch.refinenet1"),
+        "refinenet2": _convert_fusion(sd, f"{pfx}.scratch.refinenet2"),
+        "refinenet3": _convert_fusion(sd, f"{pfx}.scratch.refinenet3"),
+        "refinenet4": _convert_fusion(sd, f"{pfx}.scratch.refinenet4"),
+        "refinenet1_aux": _convert_fusion(sd, f"{pfx}.scratch.refinenet1_aux"),
+        "refinenet2_aux": _convert_fusion(sd, f"{pfx}.scratch.refinenet2_aux"),
+        "refinenet3_aux": _convert_fusion(sd, f"{pfx}.scratch.refinenet3_aux"),
+        "refinenet4_aux": _convert_fusion(sd, f"{pfx}.scratch.refinenet4_aux"),
+        "output_conv1": t_conv2d(sd, f"{pfx}.scratch.output_conv1"),
+        "output_conv2a": t_conv2d(sd, f"{pfx}.scratch.output_conv2.0"),
+        "output_conv2b": t_conv2d(sd, f"{pfx}.scratch.output_conv2.2"),
+        "output_conv1_aux": aux1,
+        # Sequential(conv3x3, Permute, LayerNorm, Permute, ReLU, conv1x1)
+        "output_conv2a_aux": t_conv2d(sd, f"{pfx}.scratch.output_conv2_aux.3.0"),
+        "output_conv2_ln_aux": t_layernorm(sd, f"{pfx}.scratch.output_conv2_aux.3.2"),
+        "output_conv2b_aux": t_conv2d(sd, f"{pfx}.scratch.output_conv2_aux.3.5"),
+    }
+
+
+def convert_da3(sd: Mapping[str, np.ndarray], cfg: DA3Config) -> dict:
+    return {
+        "backbone": _convert_aavit(sd, cfg, "backbone.pretrained"),
+        "head": _convert_dualdpt(sd, cfg, "head"),
+        "cam_dec": {
+            "backbone1": t_linear(sd, "cam_dec.backbone.0"),
+            "backbone2": t_linear(sd, "cam_dec.backbone.2"),
+            "fc_t": t_linear(sd, "cam_dec.fc_t"),
+            "fc_qvec": t_linear(sd, "cam_dec.fc_qvec"),
+            "fc_fov": t_linear(sd, "cam_dec.fc_fov.0"),
+        },
+    }

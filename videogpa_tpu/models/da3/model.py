@@ -1,0 +1,102 @@
+"""DA3 top-level net + inference API (JAX).
+
+Parity targets: reference ``depth_anything_3/model/da3.py:100-230`` (forward:
+AA-ViT -> DualDPT in f32 -> CameraDec -> pose decode, extrinsics = w2c) and
+``depth_anything_3/api.py:133-273`` (inference: ImageNet normalization,
+forward, numpy outputs). The scoring path consumes depth/conf/extrinsics/
+intrinsics/processed_images (reference ``pipelines/process_video.py:132-166``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videogpa_tpu.geometry import affine_inverse, pose_encoding_to_extri_intri
+from videogpa_tpu.models.da3.config import DA3Config
+from videogpa_tpu.models.da3.heads import (
+    camera_dec_forward,
+    camera_dec_init,
+    dualdpt_forward,
+    dualdpt_init,
+)
+from videogpa_tpu.models.da3.vit import aavit_forward, aavit_init
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def da3_init(key: jax.Array, cfg: DA3Config, dtype=jnp.float32) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "backbone": aavit_init(k1, cfg, dtype),
+        "head": dualdpt_init(k2, cfg, dtype),
+        "cam_dec": camera_dec_init(k3, cfg.tokens_dim, dtype),
+    }
+
+
+def da3_forward(
+    params: dict,
+    images: jax.Array,
+    cfg: DA3Config,
+    attn_impl: str = "auto",
+    compute_dtype=jnp.float32,
+) -> Dict[str, jax.Array]:
+    """images: (B, S, 3, H, W), already ImageNet-normalized.
+
+    Returns dict: depth (B,S,H,W), depth_conf, ray, ray_conf,
+    extrinsics (B,S,3,4) world->camera, intrinsics (B,S,3,3).
+    """
+    B, S, _, H, W = images.shape
+    feats = aavit_forward(
+        params["backbone"], images.astype(compute_dtype), cfg, attn_impl=attn_impl
+    )
+    feats = [(t.astype(jnp.float32), c.astype(jnp.float32)) for t, c in feats]
+
+    out = dualdpt_forward(params["head"], feats, cfg, (H, W))
+
+    pose_enc = camera_dec_forward(params["cam_dec"], feats[-1][1])
+    c2w, intr = pose_encoding_to_extri_intri(pose_enc, (H, W))
+    out["extrinsics"] = affine_inverse(c2w)  # -> w2c (B, S, 3, 4)
+    out["intrinsics"] = intr
+    out["pose_enc"] = pose_enc
+    return out
+
+
+@dataclasses.dataclass
+class DA3Prediction:
+    """Numpy prediction mirror of reference ``depth_anything_3/specs.py:36-47``."""
+
+    depth: np.ndarray  # (S, H, W)
+    conf: Optional[np.ndarray]  # (S, H, W)
+    extrinsics: np.ndarray  # (S, 3, 4) world->camera
+    intrinsics: np.ndarray  # (S, 3, 3)
+    processed_images: np.ndarray  # (S, H, W, 3) uint8-scale
+
+
+def da3_inference(
+    params: dict,
+    frames: np.ndarray,
+    cfg: DA3Config,
+    attn_impl: str = "auto",
+    compute_dtype=jnp.bfloat16,
+) -> DA3Prediction:
+    """frames: (S, H, W, 3) uint8 RGB (pre-resized to /14-divisible)."""
+    imgs = frames.astype(np.float32) / 255.0
+    mean = np.asarray(_IMAGENET_MEAN, np.float32)
+    std = np.asarray(_IMAGENET_STD, np.float32)
+    normed = (imgs - mean) / std
+    x = jnp.asarray(normed.transpose(0, 3, 1, 2))[None]  # (1, S, 3, H, W)
+
+    out = da3_forward(params, x, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype)
+    return DA3Prediction(
+        depth=np.asarray(out["depth"][0]),
+        conf=np.asarray(out["depth_conf"][0]),
+        extrinsics=np.asarray(out["extrinsics"][0]),
+        intrinsics=np.asarray(out["intrinsics"][0]),
+        processed_images=(imgs * 255.0).astype(np.float32),
+    )

@@ -34,6 +34,9 @@ from videogpa_tpu.reward.pointcloud import colored_pointcloud
 DEFAULT_VGGT_MODEL = "facebook/VGGT-1B"
 DEFAULT_DA3_MODEL = "depth-anything/DA3-Large"
 
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
 
 class VideoProcessor:
     """Compute 3D-consistency scores for generated videos.
@@ -60,11 +63,11 @@ class VideoProcessor:
         self.metrics = metrics
         self.backbone = self._resolve_backbone(backbone, model_name)
         if self.backbone == "da3":
-            raise NotImplementedError(
-                "DA3 backbone is scheduled for a later stage (SURVEY.md §7.9); "
-                "use backbone='vggt'"
-            )
-        self.config = config or VGGTConfig()
+            from videogpa_tpu.models.da3 import DA3Config
+
+            self.config = config or DA3Config()
+        else:
+            self.config = config or VGGTConfig()
         self.params = params
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
@@ -86,6 +89,8 @@ class VideoProcessor:
     # ------------------------------------------------------------------
 
     def _device_fn(self, conf_thres: float):
+        if self.backbone == "da3":
+            return self._device_fn_da3(conf_thres)
         key = ("vggt", conf_thres)
         if key in self._forward_cache:
             return self._forward_cache[key]
@@ -123,6 +128,57 @@ class VideoProcessor:
         self._forward_cache[key] = run
         return run
 
+    def _device_fn_da3(self, conf_thres: float):
+        """DA3 scoring graph (reference ``pipelines/process_video.py:100-166``):
+        inference -> unproject depth with c2w -> point cloud -> reproject."""
+        key = ("da3", conf_thres)
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+
+        from videogpa_tpu.geometry import unproject_depth
+        from videogpa_tpu.geometry.transforms import closed_form_inverse_se3
+        from videogpa_tpu.models.da3.model import da3_forward
+
+        cfg = self.config
+        compute_dtype = self.compute_dtype
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, static_argnums=())
+        def run(params, images):
+            # images: (1, S, 3, H, W) ImageNet-normalized;
+            # colors: (1, S, 3, H, W) in [0, 1]
+            H, W = images.shape[-2:]
+            out = da3_forward(
+                params, images, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype
+            )
+            extr = out["extrinsics"][0]  # (S, 3, 4) w2c
+            intr = out["intrinsics"][0]
+            depth = out["depth"][0]  # (S, H, W)
+            c2w = closed_form_inverse_se3(extr)
+            world = unproject_depth(
+                depth[None, ..., None], intr[None], c2w[None]
+            )[0]
+
+            mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1)
+            std = jnp.asarray(_IMAGENET_STD).reshape(1, 3, 1, 1)
+            colors = images[0] * std + mean  # back to [0, 1]
+            squeezed = {
+                "world_points_from_depth": world,
+                "depth_conf": out["depth_conf"][0],
+                "images": colors,
+            }
+            pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
+            reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask)
+            return {
+                "reprojected": reproj,
+                "extrinsic": extr,
+                "intrinsic": intr,
+                "depth": depth,
+            }
+
+        self._forward_cache[key] = run
+        return run
+
     # ------------------------------------------------------------------
     # Public API (reference-compatible)
     # ------------------------------------------------------------------
@@ -149,9 +205,18 @@ class VideoProcessor:
         if self.params is None:
             raise RuntimeError(
                 "VideoProcessor needs converted backbone params "
-                "(videogpa_tpu.models.vggt.convert.convert_vggt)"
+                "(videogpa_tpu.models.vggt.convert.convert_vggt / "
+                "videogpa_tpu.models.da3.convert.convert_da3)"
             )
-        images = jnp.asarray(preprocess_images_vggt(frames_np))
+        if self.backbone == "da3":
+            imgs = frames_np.astype(np.float32) / 255.0
+            mean = np.asarray(_IMAGENET_MEAN, np.float32)
+            std = np.asarray(_IMAGENET_STD, np.float32)
+            images = jnp.asarray(
+                ((imgs - mean) / std).transpose(0, 3, 1, 2)[None]
+            )
+        else:
+            images = jnp.asarray(preprocess_images_vggt(frames_np))
 
         results: Dict[Any, Any] = {}
         extr_np = None
