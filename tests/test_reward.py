@@ -84,6 +84,6 @@ class TestVideoProcessor:
         assert 0 <= res["MSE"] <= 1
         assert -1 <= res["SSIM"] <= 1
 
-    def test_da3_backbone_not_yet(self):
-        with pytest.raises(NotImplementedError):
-            VideoProcessor({}, backbone="da3")
+    def test_da3_backbone_selectable(self):
+        vp = VideoProcessor({}, backbone="da3")
+        assert vp.backbone == "da3"

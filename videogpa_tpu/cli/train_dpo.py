@@ -1,0 +1,113 @@
+"""Shared DPO training driver (CogVideoX recipes).
+
+Behavior parity: reference ``train/CogVideoX-I2V-5B/03_train.py:210-281`` —
+98/2 split (seed 42), per-step training with periodic validation, top-k
+checkpointing by val loss, final PEFT LoRA export on completion, throughput
+telemetry.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def train_dpo(config: dict, cog_cfg, i2v: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from videogpa_tpu.checkpoint import TrainCheckpointer
+    from videogpa_tpu.models.loader import load_cogvideox
+    from videogpa_tpu.train.dataset import DPODataset, collate, train_val_split
+    from videogpa_tpu.train.lora import export_peft, lora_init
+    from videogpa_tpu.train.trainer import (
+        TrainerConfig, init_train_state, make_dpo_train_step,
+    )
+    from videogpa_tpu.utils import MetricLogger
+
+    dit, vae = load_cogvideox(config["model_path"], cog_cfg, dtype=jnp.bfloat16)
+
+    tcfg = TrainerConfig(
+        learning_rate=config.get("learning_rate", 5e-6),
+        beta=config.get("beta", 1.0),
+        warmup_steps=config.get("warmup_steps", 500),
+        max_steps=config.get("max_steps", 10_000),
+        gradient_clip_val=config.get("gradient_clip_val", 1.0),
+        lora_rank=config.get("lora_rank", 64),
+        lora_alpha=config.get("lora_alpha", 128.0),
+    )
+    lora = lora_init(
+        jax.random.PRNGKey(config.get("seed", 0)), cog_cfg.num_layers,
+        cog_cfg.hidden_dim, rank=tcfg.lora_rank,
+    )
+    state = init_train_state(lora, tcfg)
+    train_step, eval_step = make_dpo_train_step(
+        dit, cog_cfg, tcfg, vae_params=vae if i2v else None
+    )
+
+    ds = DPODataset(
+        base_path=config["base_path"],
+        metadata_path=config["metadata_path"],
+        metric_name=config.get("metric_name", "consistency_score"),
+        metric_mode=config.get("metric_mode", "min"),
+        min_gap=config.get("min_gap", 0.05),
+        metric_threshold=config.get("metric_threshold"),
+        motion_threshold=config.get("motion_threshold", 0.001),
+    )
+    train_idx, val_idx = train_val_split(len(ds), 0.02, seed=42)
+    print(f"pairs: {len(ds)} (train {len(train_idx)}, val {len(val_idx)})")
+
+    out_dir = config["output_dir"]
+    ckpt = TrainCheckpointer(
+        os.path.join(out_dir, "checkpoints"),
+        save_top_k=config.get("save_top_k", 10),
+    )
+    logger = MetricLogger(out_dir, project=config.get("wandb_project"),
+                          name=config.get("experiment_name"), config=config)
+
+    batch_size = config.get("batch_size", 2)
+    rng = np.random.default_rng(config.get("seed", 0))
+    key = jax.random.PRNGKey(config.get("seed", 0))
+    step = 0
+    log_every = config.get("log_every_n_steps", 10)
+    ckpt_every = config.get("checkpoint_every_n_steps", 1000)
+
+    def make_batch(indices):
+        items = [ds[int(i)] for i in indices]
+        b = collate(items)
+        return {k: jnp.asarray(v) for k, v in b.items() if k != "prompt"}
+
+    while step < tcfg.max_steps:
+        order = rng.permutation(train_idx)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            batch = make_batch(order[i : i + batch_size])
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+            step += 1
+            if step % log_every == 0:
+                m = {f"train/{k}": float(v) for k, v in metrics.items()}
+                m["stats/samples_per_sec"] = logger.throughput(step, batch_size)
+                logger.log(step, m)
+                print(f"step {step}: loss={m['train/loss']:.4f} "
+                      f"margin={m['train/reward_margin']:.4f}")
+            if step % ckpt_every == 0 or step >= tcfg.max_steps:
+                val_losses = []
+                for j in range(0, min(len(val_idx), 50), 1):
+                    vb = make_batch(val_idx[j : j + 1])
+                    key, sub = jax.random.split(key)
+                    val_losses.append(float(eval_step(state, vb, sub)["loss"]))
+                val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+                logger.log(step, {"val/loss": val_loss})
+                ckpt.save(step, {"lora": state.lora}, metric=val_loss)
+            if step >= tcfg.max_steps:
+                break
+
+    export_peft(
+        state.lora, os.path.join(out_dir, "final_lora"),
+        rank=tcfg.lora_rank, alpha=tcfg.lora_alpha,
+    )
+    logger.close()
+    print(f"final LoRA exported to {os.path.join(out_dir, 'final_lora')}")

@@ -1,0 +1,127 @@
+"""Checkpoint loading glue: local HF-layout directories -> converted params.
+
+No network access is assumed: ``resolve_model_dir`` accepts a filesystem path
+or resolves a HF repo id against the local HF cache / VIDEOGPA_MODELS_DIR.
+Multi-shard safetensors (``*.safetensors.index.json``) are supported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def resolve_model_dir(name_or_path: str, subfolder: Optional[str] = None) -> str:
+    """Resolve a model directory: direct path, $VIDEOGPA_MODELS_DIR/<name>,
+    or the local huggingface hub cache."""
+    candidates = [name_or_path]
+    env_root = os.environ.get("VIDEOGPA_MODELS_DIR")
+    if env_root:
+        candidates.append(os.path.join(env_root, name_or_path.replace("/", "--")))
+        candidates.append(os.path.join(env_root, os.path.basename(name_or_path)))
+    hf_home = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    repo_cache = os.path.join(
+        hf_home, "hub", f"models--{name_or_path.replace('/', '--')}", "snapshots"
+    )
+    if os.path.isdir(repo_cache):
+        snaps = sorted(os.listdir(repo_cache))
+        if snaps:
+            candidates.append(os.path.join(repo_cache, snaps[-1]))
+    for c in candidates:
+        d = os.path.join(c, subfolder) if subfolder else c
+        if os.path.isdir(d):
+            return d
+    raise FileNotFoundError(
+        f"cannot resolve model '{name_or_path}'"
+        + (f" (subfolder {subfolder})" if subfolder else "")
+        + "; set VIDEOGPA_MODELS_DIR or pass a local path"
+    )
+
+
+def load_safetensors_dir(model_dir: str) -> Dict[str, np.ndarray]:
+    """Load all safetensors shards in a directory into one numpy state dict."""
+    from safetensors.numpy import load_file
+
+    index_files = [f for f in os.listdir(model_dir) if f.endswith(".safetensors.index.json")]
+    sd: Dict[str, np.ndarray] = {}
+    if index_files:
+        with open(os.path.join(model_dir, index_files[0])) as f:
+            index = json.load(f)
+        shards = sorted(set(index["weight_map"].values()))
+        for shard in shards:
+            sd.update(load_file(os.path.join(model_dir, shard)))
+        return sd
+    st_files = sorted(f for f in os.listdir(model_dir) if f.endswith(".safetensors"))
+    if not st_files:
+        # fall back to torch .bin
+        bins = sorted(f for f in os.listdir(model_dir) if f.endswith(".bin") or f.endswith(".pt"))
+        if not bins:
+            raise FileNotFoundError(f"no weights found in {model_dir}")
+        from videogpa_tpu.convert import load_torch_state_dict
+
+        for b in bins:
+            sd.update(load_torch_state_dict(os.path.join(model_dir, b)))
+        return sd
+    for f in st_files:
+        sd.update(load_file(os.path.join(model_dir, f)))
+    return sd
+
+
+def _to_f32(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if v.dtype == np.dtype("uint16"):  # some exporters store bf16 raw
+            v = v.view(np.uint16).astype(np.float32)
+        elif hasattr(v.dtype, "name") and "bfloat16" in str(v.dtype):
+            v = v.astype(np.float32)
+        out[k] = v
+    return out
+
+
+def load_cogvideox(model_name_or_path: str, cfg=None, dtype=None):
+    """Load a diffusers-layout CogVideoX checkpoint -> (dit, vae params)."""
+    import jax.numpy as jnp
+
+    from videogpa_tpu.models.cogvideox.config import CogVideoXConfig
+    from videogpa_tpu.models.cogvideox.convert import convert_dit, convert_vae
+
+    cfg = cfg or CogVideoXConfig.cogvideox_5b()
+    dit_sd = _to_f32(load_safetensors_dir(resolve_model_dir(model_name_or_path, "transformer")))
+    vae_sd = _to_f32(load_safetensors_dir(resolve_model_dir(model_name_or_path, "vae")))
+    dit = convert_dit(dit_sd, cfg)
+    vae = convert_vae(vae_sd, cfg)
+    if dtype is not None:
+        import jax
+
+        dit = jax.tree_util.tree_map(lambda x: x.astype(dtype), dit)
+        vae = jax.tree_util.tree_map(lambda x: x.astype(dtype), vae)
+    return dit, vae
+
+
+def load_vggt(model_name_or_path: str = "facebook/VGGT-1B", cfg=None):
+    from videogpa_tpu.models.vggt.config import VGGTConfig
+    from videogpa_tpu.models.vggt.convert import convert_vggt
+
+    cfg = cfg or VGGTConfig()
+    sd = _to_f32(load_safetensors_dir(resolve_model_dir(model_name_or_path)))
+    return convert_vggt(sd, cfg), cfg
+
+
+def load_da3(model_name_or_path: str = "depth-anything/DA3-Large", cfg=None):
+    from videogpa_tpu.models.da3.config import DA3Config
+    from videogpa_tpu.models.da3.convert import convert_da3
+
+    cfg = cfg or DA3Config.large()
+    sd = _to_f32(load_safetensors_dir(resolve_model_dir(model_name_or_path)))
+    return convert_da3(sd, cfg), cfg
+
+
+def load_t5(model_name_or_path: str, cfg=None):
+    from videogpa_tpu.models.t5.encoder import T5Config, convert_t5_encoder
+
+    cfg = cfg or T5Config.t5_v1_1_xxl()
+    sd = _to_f32(load_safetensors_dir(resolve_model_dir(model_name_or_path, "text_encoder")))
+    return convert_t5_encoder(sd, cfg), cfg

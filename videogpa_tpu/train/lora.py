@@ -69,6 +69,13 @@ def lora_delta(
     return scaling * jnp.dot(h, B.T, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+# per model family: (attention subtree key, {lora name -> param name})
+_MERGE_LAYOUTS = {
+    "cogvideox": ("attn1", {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v", "to_out": "to_out"}),
+    "wan": ("self_attn", {"to_q": "q", "to_k": "k", "to_v": "v", "to_out": "o"}),
+}
+
+
 def merge_lora(
     dit_params: dict,
     lora: dict,
@@ -76,6 +83,7 @@ def merge_lora(
     alpha: float,
     weight: float = 1.0,
     absolute_scaling: Optional[float] = None,
+    layout: str = "cogvideox",
 ) -> dict:
     """Merge LoRA into DiT weights (for sampling).
 
@@ -83,14 +91,16 @@ def merge_lora(
     weight * alpha / rank (PEFT merge x relative Wan/replicate convention).
     """
     scaling = absolute_scaling if absolute_scaling is not None else weight * alpha / rank
+    attn_key, name_map = _MERGE_LAYOUTS[layout]
     merged = jax.tree_util.tree_map(lambda x: x, dit_params)  # shallow copy tree
-    attn = merged["blocks"]["attn1"]
+    attn = merged["blocks"][attn_key]
     for name, lp in lora.items():
+        pname = name_map.get(name, name)
         # kernel layout (L, in, out); delta = (B @ A)^T per layer = A^T B^T
         delta = jnp.einsum("lri,lor->lio", lp["lora_A"], lp["lora_B"]) * scaling
-        attn[name] = dict(attn[name])
-        attn[name]["kernel"] = attn[name]["kernel"] + delta.astype(
-            attn[name]["kernel"].dtype
+        attn[pname] = dict(attn[pname])
+        attn[pname]["kernel"] = attn[pname]["kernel"] + delta.astype(
+            attn[pname]["kernel"].dtype
         )
     return merged
 
