@@ -1,0 +1,227 @@
+"""Tests for auxiliary subsystems: export pack, serving backend, bench, prefetch."""
+
+import json
+import os
+import struct
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videogpa_tpu.models.da3.model import DA3Prediction
+
+
+@pytest.fixture
+def prediction():
+    rng = np.random.default_rng(0)
+    S, H, W = 2, 28, 28
+    E = np.tile(np.eye(4)[:3].astype(np.float32), (S, 1, 1))
+    E[1, 0, 3] = 0.5
+    K = np.tile(
+        np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32),
+        (S, 1, 1),
+    )
+    return DA3Prediction(
+        depth=rng.uniform(1, 5, (S, H, W)).astype(np.float32),
+        conf=rng.uniform(1, 2, (S, H, W)).astype(np.float32),
+        extrinsics=E,
+        intrinsics=K,
+        processed_images=rng.uniform(0, 255, (S, H, W, 3)).astype(np.float32),
+    )
+
+
+class TestExport:
+    def test_npz_roundtrip(self, prediction, tmp_path):
+        from videogpa_tpu.models.da3.export import export
+
+        path = export(prediction, "npz", str(tmp_path))
+        d = np.load(path)
+        np.testing.assert_allclose(d["depth"], prediction.depth)
+        assert d["extrinsics"].shape == (2, 3, 4)
+
+    def test_ply(self, prediction, tmp_path):
+        from videogpa_tpu.models.da3.export import export
+
+        path = export(prediction, "ply", str(tmp_path))
+        with open(path, "rb") as f:
+            header = f.read(200)
+        assert header.startswith(b"ply")
+        assert b"element vertex 1568" in header  # 2*28*28
+
+    def test_glb_structure(self, prediction, tmp_path):
+        from videogpa_tpu.models.da3.export import export
+
+        path = export(prediction, "glb", str(tmp_path))
+        with open(path, "rb") as f:
+            magic, version, total = struct.unpack("<III", f.read(12))
+            assert magic == 0x46546C67 and version == 2
+            json_len, json_type = struct.unpack("<II", f.read(8))
+            gltf = json.loads(f.read(json_len))
+        assert gltf["meshes"][0]["primitives"][0]["mode"] == 0  # POINTS
+        assert os.path.getsize(path) == total
+
+    def test_colmap(self, prediction, tmp_path):
+        from videogpa_tpu.models.da3.export import export
+
+        d = export(prediction, "colmap", str(tmp_path))
+        for f in ("cameras.txt", "images.txt", "points3D.txt"):
+            assert os.path.exists(os.path.join(d, f))
+        lines = [l for l in open(os.path.join(d, "images.txt")) if l.strip() and not l.startswith("#")]
+        assert len(lines) == 2
+
+    def test_unknown_format_raises(self, prediction, tmp_path):
+        from videogpa_tpu.models.da3.export import export
+
+        with pytest.raises(ValueError):
+            export(prediction, "obj", str(tmp_path))
+
+
+class TestBench:
+    def test_pose_metrics_perfect(self):
+        from videogpa_tpu.models.da3.bench import auc_at, relative_pose_errors
+
+        rng = np.random.default_rng(0)
+        E = np.tile(np.eye(4)[:3], (4, 1, 1))
+        E[:, :3, 3] = rng.standard_normal((4, 3))
+        rot, trans = relative_pose_errors(E, E)
+        assert rot.max() < 1e-3 and trans.max() < 1e-3
+        assert auc_at(rot) > 0.99
+
+    def test_evaluator_with_fixture_scene(self, tmp_path):
+        from videogpa_tpu.models.da3 import DA3Config, da3_init
+        from videogpa_tpu.models.da3.bench import DATASET_REGISTRY, Evaluator
+
+        cfg = DA3Config.tiny()
+        params = da3_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        os.environ["DA3_BENCH_DIR"] = str(tmp_path)
+        E = np.tile(np.eye(4)[:3].astype(np.float32), (3, 1, 1))
+        E[:, 0, 3] = [0, 0.2, 0.4]
+        np.savez(
+            tmp_path / "scene0.npz",
+            frames=rng.integers(0, 255, (3, cfg.img_size, cfg.img_size, 3), dtype=np.uint8),
+            extrinsics=E,
+        )
+        ds = DATASET_REGISTRY["npz_dir"]()
+        ev = Evaluator(params, cfg, mode="pose")
+        summary = ev.run(ds, out_json=str(tmp_path / "report.json"))
+        assert summary["scenes"] == 1
+        assert "mean_auc30" in summary
+        assert os.path.exists(tmp_path / "report.json")
+
+    def test_sharding(self, tmp_path):
+        from videogpa_tpu.models.da3.bench import DATASET_REGISTRY
+
+        os.environ["DA3_BENCH_DIR"] = str(tmp_path)
+        for i in range(5):
+            np.savez(tmp_path / f"s{i}.npz", frames=np.zeros((1, 28, 28, 3), np.uint8))
+        ds = DATASET_REGISTRY["npz_dir"]()
+        all_scenes = ds.scenes()
+        shard0 = all_scenes[0::2]
+        shard1 = all_scenes[1::2]
+        assert sorted(shard0 + shard1) == all_scenes
+
+
+class TestServiceBackend:
+    def test_endpoints(self, tmp_path):
+        import cv2
+
+        from videogpa_tpu.models.da3.service import ModelBackend, make_handler
+        from http.server import ThreadingHTTPServer
+
+        backend = ModelBackend(out_root=str(tmp_path))
+        # monkeypatch in a tiny model instead of loading DA3-Large
+        from videogpa_tpu.models.da3 import DA3Config, da3_init
+
+        backend._cfg = DA3Config.tiny()
+        backend._params = da3_init(jax.random.PRNGKey(0), backend._cfg)
+        backend._ensure_model = lambda: None
+        # warm the jit cache so the worker thread isn't stuck compiling
+        from videogpa_tpu.models.da3.model import da3_inference
+
+        da3_inference(
+            backend._params,
+            np.zeros((1, backend._cfg.img_size, backend._cfg.img_size, 3), np.uint8),
+            backend._cfg,
+        )
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(backend))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            status = json.loads(urllib.request.urlopen(f"{base}/status").read())
+            assert status["status"] == "ok"
+
+            img_path = str(tmp_path / "img.png")
+            cv2.imwrite(img_path, np.zeros((56, 56, 3), np.uint8))
+            req = urllib.request.Request(
+                f"{base}/infer",
+                data=json.dumps({"images": [img_path], "export": "npz"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            task_id = json.loads(urllib.request.urlopen(req).read())["task_id"]
+            for _ in range(240):
+                task = json.loads(
+                    urllib.request.urlopen(f"{base}/tasks/{task_id}").read()
+                )
+                if task["status"] in ("done", "error"):
+                    break
+                time.sleep(0.5)
+            assert task["status"] == "done", task
+            assert os.path.exists(task["result"])
+
+            tasks = json.loads(urllib.request.urlopen(f"{base}/tasks").read())
+            assert len(tasks["tasks"]) == 1
+            bad = urllib.request.Request(f"{base}/infer", data=b"{}",
+                                         headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(bad)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()
+
+
+class TestPrefetch:
+    def test_prefetch_order_and_content(self):
+        from videogpa_tpu.data.prefetch import prefetch_to_device
+
+        batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), buffer_size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert isinstance(b["x"], jax.Array)
+            np.testing.assert_allclose(np.asarray(b["x"]), i)
+
+    def test_prefetch_propagates_errors(self):
+        from videogpa_tpu.data.prefetch import prefetch_to_device
+
+        def gen():
+            yield {"x": np.zeros(2)}
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(gen())
+        next(it)
+        with pytest.raises(RuntimeError):
+            list(it)
+
+    def test_batch_loader(self):
+        from videogpa_tpu.data.prefetch import BatchLoader
+
+        data = list(range(10))
+        loader = BatchLoader(
+            data, range(10), batch_size=3,
+            collate=lambda items: np.asarray(items), num_workers=2,
+            shuffle_seed=0,
+        )
+        batches = list(loader)
+        assert len(batches) == 3
+        seen = np.concatenate(batches)
+        assert len(np.unique(seen)) == 9

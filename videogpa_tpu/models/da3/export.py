@@ -1,0 +1,186 @@
+"""DA3 prediction export pack: npz / ply / glb / colmap / depth visualization.
+
+Functional equivalent of the reference export dispatch
+(``depth_anything_3/utils/export/__init__.py:18-63``), implemented on numpy +
+stdlib (no trimesh/plyfile dependencies).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+from videogpa_tpu.geometry import closed_form_inverse_se3, unproject_depth
+from videogpa_tpu.reward.pointcloud import save_ply
+
+EXPORTERS = {}
+
+
+def register(name):
+    def deco(fn):
+        EXPORTERS[name] = fn
+        return fn
+
+    return deco
+
+
+def export(prediction, export_format: str, out_dir: str, **kwargs) -> str:
+    """Dispatch a DA3Prediction to the requested exporter; returns out path."""
+    if export_format not in EXPORTERS:
+        raise ValueError(
+            f"unknown export format {export_format!r}; have {sorted(EXPORTERS)}"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    return EXPORTERS[export_format](prediction, out_dir, **kwargs)
+
+
+def _world_points(prediction) -> np.ndarray:
+    import jax.numpy as jnp
+
+    depth = jnp.asarray(prediction.depth)[None, ..., None]
+    intr = jnp.asarray(prediction.intrinsics)[None]
+    c2w = closed_form_inverse_se3(jnp.asarray(prediction.extrinsics))[None]
+    return np.asarray(unproject_depth(depth, intr, c2w)[0])  # (S, H, W, 3)
+
+
+def _colors(prediction) -> np.ndarray:
+    imgs = prediction.processed_images
+    if imgs.max() <= 1.0:
+        imgs = imgs * 255.0
+    return imgs
+
+
+@register("npz")
+def export_npz(prediction, out_dir: str, **_) -> str:
+    path = os.path.join(out_dir, "prediction.npz")
+    np.savez_compressed(
+        path,
+        depth=prediction.depth,
+        conf=prediction.conf if prediction.conf is not None else np.zeros(0),
+        extrinsics=prediction.extrinsics,
+        intrinsics=prediction.intrinsics,
+        processed_images=prediction.processed_images.astype(np.uint8),
+    )
+    return path
+
+
+@register("mini_npz")
+def export_mini_npz(prediction, out_dir: str, **_) -> str:
+    path = os.path.join(out_dir, "prediction_mini.npz")
+    np.savez_compressed(
+        path,
+        depth=prediction.depth.astype(np.float16),
+        extrinsics=prediction.extrinsics.astype(np.float32),
+        intrinsics=prediction.intrinsics.astype(np.float32),
+    )
+    return path
+
+
+@register("ply")
+def export_ply(prediction, out_dir: str, conf_frac: float = 0.0, **_) -> str:
+    pts = _world_points(prediction).reshape(-1, 3)
+    cols = _colors(prediction).reshape(-1, 3)
+    if prediction.conf is not None and conf_frac > 0:
+        conf = prediction.conf.reshape(-1)
+        thr = np.quantile(conf, conf_frac)
+        keep = conf >= thr
+        pts, cols = pts[keep], cols[keep]
+    path = os.path.join(out_dir, "pointcloud.ply")
+    save_ply(pts, cols, path)
+    return path
+
+
+@register("glb")
+def export_glb(prediction, out_dir: str, max_points: int = 500_000, **_) -> str:
+    """Minimal binary glTF point cloud (POSITION + COLOR_0, mode POINTS)."""
+    pts = _world_points(prediction).reshape(-1, 3).astype(np.float32)
+    cols = (_colors(prediction).reshape(-1, 3) / 255.0).astype(np.float32)
+    if len(pts) > max_points:
+        idx = np.linspace(0, len(pts) - 1, max_points).astype(int)
+        pts, cols = pts[idx], cols[idx]
+    # glTF y-up convention: flip y/z from the OpenCV frame
+    pts = pts * np.array([1, -1, -1], np.float32)
+
+    pos_bytes = pts.tobytes()
+    col_bytes = cols.tobytes()
+    bin_blob = pos_bytes + col_bytes
+    gltf = {
+        "asset": {"version": "2.0", "generator": "videogpa_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "COLOR_0": 1}, "mode": 0}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(pts),
+             "type": "VEC3",
+             "min": pts.min(0).tolist(), "max": pts.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5126, "count": len(cols),
+             "type": "VEC3"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_bytes)},
+            {"buffer": 0, "byteOffset": len(pos_bytes), "byteLength": len(col_bytes)},
+        ],
+        "buffers": [{"byteLength": len(bin_blob)}],
+    }
+    json_blob = json.dumps(gltf).encode()
+    json_blob += b" " * (-len(json_blob) % 4)
+    bin_blob += b"\x00" * (-len(bin_blob) % 4)
+    path = os.path.join(out_dir, "scene.glb")
+    with open(path, "wb") as f:
+        total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(json_blob), 0x4E4F534A))
+        f.write(json_blob)
+        f.write(struct.pack("<II", len(bin_blob), 0x004E4942))
+        f.write(bin_blob)
+    return path
+
+
+@register("colmap")
+def export_colmap(prediction, out_dir: str, **_) -> str:
+    """COLMAP text model (cameras.txt / images.txt / points3D.txt)."""
+    d = os.path.join(out_dir, "colmap")
+    os.makedirs(d, exist_ok=True)
+    S, H, W = prediction.depth.shape
+    with open(os.path.join(d, "cameras.txt"), "w") as f:
+        f.write("# Camera list: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]\n")
+        for i, K in enumerate(prediction.intrinsics):
+            f.write(
+                f"{i + 1} PINHOLE {W} {H} {K[0, 0]:.6f} {K[1, 1]:.6f} "
+                f"{K[0, 2]:.6f} {K[1, 2]:.6f}\n"
+            )
+    from videogpa_tpu.geometry import mat_to_quat
+    import jax.numpy as jnp
+
+    with open(os.path.join(d, "images.txt"), "w") as f:
+        f.write("# IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME\n")
+        for i, E in enumerate(prediction.extrinsics):
+            q = np.asarray(mat_to_quat(jnp.asarray(E[:3, :3])[None]))[0]  # xyzw
+            t = E[:3, 3]
+            f.write(
+                f"{i + 1} {q[3]:.8f} {q[0]:.8f} {q[1]:.8f} {q[2]:.8f} "
+                f"{t[0]:.8f} {t[1]:.8f} {t[2]:.8f} {i + 1} frame_{i:05d}.png\n\n"
+            )
+    with open(os.path.join(d, "points3D.txt"), "w") as f:
+        f.write("# POINT3D_ID X Y Z R G B ERROR TRACK[]\n")
+    return d
+
+
+@register("depth_vis")
+def export_depth_vis(prediction, out_dir: str, **_) -> str:
+    import cv2
+
+    d = os.path.join(out_dir, "depth_vis")
+    os.makedirs(d, exist_ok=True)
+    for i, depth in enumerate(prediction.depth):
+        inv = 1.0 / np.maximum(depth, 1e-6)
+        norm = (inv - inv.min()) / max(inv.max() - inv.min(), 1e-9)
+        vis = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_TURBO)
+        cv2.imwrite(os.path.join(d, f"depth_{i:05d}.png"), vis)
+    return d

@@ -1,0 +1,210 @@
+"""DA3 model-serving backend (stdlib HTTP).
+
+Functional equivalent of the reference FastAPI backend
+(``depth_anything_3/services/backend.py:96-201,1156-1368``): a persistent
+model held by a worker thread draining a task queue, with endpoints
+
+    GET  /status          server + model state
+    POST /infer           {"images": [b64 or path, ...], "export": "npz"}
+    GET  /tasks           task listing
+    GET  /tasks/<id>      task state/result path
+    GET  /memory          device memory introspection
+    POST /reload          reload model weights
+
+Tasks are garbage-collected after a TTL like the reference (:392-457).
+fastapi/uvicorn are not available in this environment, so this is built on
+``http.server.ThreadingHTTPServer``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import queue
+import tempfile
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+TASK_TTL_SECONDS = 3600.0
+
+
+class ModelBackend:
+    """Persistent model + background inference worker with a task queue."""
+
+    def __init__(self, model_dir: Optional[str] = None, out_root: Optional[str] = None):
+        self.model_dir = model_dir
+        self.out_root = out_root or tempfile.mkdtemp(prefix="da3_backend_")
+        self.tasks: Dict[str, Dict[str, Any]] = {}
+        self._queue: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._params = None
+        self._cfg = None
+        self.started = time.time()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+        self._gc = threading.Thread(target=self._gc_loop, daemon=True)
+        self._gc.start()
+
+    # -- model ---------------------------------------------------------
+
+    def _ensure_model(self):
+        if self._params is None:
+            from videogpa_tpu.models.loader import load_da3
+
+            self._params, self._cfg = load_da3(
+                self.model_dir or "depth-anything/DA3-Large"
+            )
+
+    def reload(self):
+        with self._lock:
+            self._params = None
+        self._ensure_model()
+
+    # -- tasks ---------------------------------------------------------
+
+    def submit(self, images, export_format: str = "npz") -> str:
+        task_id = uuid.uuid4().hex[:12]
+        self.tasks[task_id] = {
+            "id": task_id,
+            "status": "queued",
+            "created": time.time(),
+            "export": export_format,
+        }
+        self._queue.put((task_id, images, export_format))
+        return task_id
+
+    def _drain(self):
+        while True:
+            task_id, images, export_format = self._queue.get()
+            task = self.tasks.get(task_id)
+            if task is None:
+                continue
+            task["status"] = "running"
+            try:
+                import numpy as np
+
+                from videogpa_tpu.models.da3.export import export
+                from videogpa_tpu.models.da3.model import da3_inference
+
+                self._ensure_model()
+                frames = np.stack([self._decode_image(i) for i in images])
+                pred = da3_inference(self._params, frames, self._cfg)
+                out_dir = os.path.join(self.out_root, task_id)
+                path = export(pred, export_format, out_dir)
+                task.update(status="done", result=path, finished=time.time())
+            except Exception as e:
+                task.update(status="error", error=str(e), finished=time.time())
+
+    @staticmethod
+    def _decode_image(item: str):
+        import cv2
+        import numpy as np
+
+        if os.path.exists(item):
+            img = cv2.cvtColor(cv2.imread(item), cv2.COLOR_BGR2RGB)
+        else:
+            raw = np.frombuffer(base64.b64decode(item), np.uint8)
+            img = cv2.cvtColor(cv2.imdecode(raw, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        scale = 518 / max(h, w)
+        nh = max(14, round(h * scale / 14) * 14)
+        nw = max(14, round(w * scale / 14) * 14)
+        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+
+    def _gc_loop(self):
+        while True:
+            time.sleep(60)
+            now = time.time()
+            stale = [
+                tid for tid, t in list(self.tasks.items())
+                if t.get("finished") and now - t["finished"] > TASK_TTL_SECONDS
+            ]
+            for tid in stale:
+                self.tasks.pop(tid, None)
+
+    # -- introspection -------------------------------------------------
+
+    def status(self) -> dict:
+        return {
+            "status": "ok",
+            "model_loaded": self._params is not None,
+            "model_dir": self.model_dir,
+            "uptime_sec": round(time.time() - self.started, 1),
+            "pending": self._queue.qsize(),
+            "tasks": len(self.tasks),
+        }
+
+    @staticmethod
+    def memory() -> dict:
+        import jax
+
+        out = {}
+        for d in jax.devices():
+            stats = None
+            try:
+                stats = d.memory_stats()
+            except Exception:
+                pass
+            out[str(d)] = stats or {"memory_stats": "unavailable"}
+        return out
+
+
+def make_handler(backend: ModelBackend):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/status":
+                return self._send(200, backend.status())
+            if self.path == "/memory":
+                return self._send(200, backend.memory())
+            if self.path == "/tasks":
+                return self._send(200, {"tasks": list(backend.tasks.values())})
+            if self.path.startswith("/tasks/"):
+                task = backend.tasks.get(self.path.split("/")[-1])
+                if task is None:
+                    return self._send(404, {"error": "unknown task"})
+                return self._send(200, task)
+            return self._send(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                return self._send(400, {"error": "invalid JSON"})
+            if self.path == "/infer":
+                images = payload.get("images")
+                if not images:
+                    return self._send(400, {"error": "images required"})
+                task_id = backend.submit(images, payload.get("export", "npz"))
+                return self._send(200, {"task_id": task_id})
+            if self.path == "/reload":
+                try:
+                    backend.reload()
+                    return self._send(200, {"status": "reloaded"})
+                except Exception as e:
+                    return self._send(500, {"error": str(e)})
+            return self._send(404, {"error": "unknown endpoint"})
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(model_dir: Optional[str] = None, host: str = "127.0.0.1", port: int = 8000):
+    backend = ModelBackend(model_dir)
+    server = ThreadingHTTPServer((host, port), make_handler(backend))
+    print(f"DA3 backend listening on http://{host}:{port}")
+    server.serve_forever()

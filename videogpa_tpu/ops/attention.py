@@ -299,8 +299,8 @@ def attention(
     k: jax.Array,
     v: jax.Array,
     impl: str = "auto",
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jax.Array:
     """Bidirectional multi-head attention.
 
