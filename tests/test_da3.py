@@ -105,3 +105,57 @@ class TestDA3Scorer:
         for k in ("MSE", "Consistency_Score", "motion_norm", "MVCS"):
             assert np.isfinite(res[k]), (k, res[k])
         assert np.asarray(results["_extrinsic"]).shape == (3, 3, 4)
+
+
+class TestCameraConditioning:
+    def test_gt_pose_conditioning_changes_output(self):
+        cfg = DA3Config.tiny()
+        params = da3_init(jax.random.PRNGKey(0), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 3, cfg.img_size, cfg.img_size))
+        ext = jnp.tile(jnp.eye(4)[:3][None, None], (1, 2, 1, 1))
+        ext = ext.at[0, 1, 0, 3].set(0.5)
+        K = jnp.tile(
+            jnp.array([[30.0, 0, 28.0], [0, 30.0, 28.0], [0, 0, 1]])[None, None],
+            (1, 2, 1, 1),
+        )
+        out1 = da3_forward(params, imgs, cfg, attn_impl="xla")
+        out2 = da3_forward(params, imgs, cfg, attn_impl="xla",
+                           gt_extrinsics=ext, gt_intrinsics=K)
+        assert not np.allclose(np.asarray(out1["depth"]), np.asarray(out2["depth"]))
+
+
+class TestAlignment:
+    def test_umeyama_recovers_sim3(self):
+        from videogpa_tpu.geometry.alignment import align_poses_umeyama, umeyama_sim3
+
+        rng = np.random.default_rng(0)
+        src = rng.standard_normal((20, 3))
+        theta = 0.7
+        R_true = np.array([
+            [np.cos(theta), -np.sin(theta), 0],
+            [np.sin(theta), np.cos(theta), 0],
+            [0, 0, 1],
+        ])
+        s_true, t_true = 2.5, np.array([1.0, -2.0, 0.5])
+        dst = s_true * (R_true @ src.T).T + t_true
+        R, t, s = umeyama_sim3(src, dst)
+        np.testing.assert_allclose(R, R_true, atol=1e-8)
+        np.testing.assert_allclose(t, t_true, atol=1e-8)
+        np.testing.assert_allclose(s, s_true, atol=1e-8)
+
+    def test_ransac_robust_to_outliers(self):
+        from videogpa_tpu.geometry.alignment import align_poses_umeyama
+
+        rng = np.random.default_rng(1)
+        n = 20
+        ext_ref = np.tile(np.eye(4)[:3], (n, 1, 1))
+        ext_ref[:, :3, 3] = rng.standard_normal((n, 3))
+        ext_est = ext_ref.copy()
+        ext_est[3, :3, 3] += 50.0  # gross outlier
+        R, t, s, aligned = align_poses_umeyama(
+            ext_ref, ext_est, return_aligned=True, ransac=True, random_state=0
+        )
+        errs = np.linalg.norm(aligned[:, :3, 3] - np.concatenate(
+            [ext_ref, np.tile([[0, 0, 0, 1.0]], (n, 1, 1))], axis=1)[:, :3, 3], axis=1)
+        # inliers align well despite the outlier
+        assert np.median(errs) < 0.1

@@ -86,7 +86,7 @@ def _convert_dualdpt(sd: Mapping[str, np.ndarray], cfg: DA3Config, pfx: str) -> 
 
 
 def convert_da3(sd: Mapping[str, np.ndarray], cfg: DA3Config) -> dict:
-    return {
+    out = {
         "backbone": _convert_aavit(sd, cfg, "backbone.pretrained"),
         "head": _convert_dualdpt(sd, cfg, "head"),
         "cam_dec": {
@@ -97,3 +97,19 @@ def convert_da3(sd: Mapping[str, np.ndarray], cfg: DA3Config) -> dict:
             "fc_fov": t_linear(sd, "cam_dec.fc_fov.0"),
         },
     }
+    if "cam_enc.token_norm.weight" in sd:
+        out["cam_enc"] = {
+            "pose_branch": {
+                "fc1": t_linear(sd, "cam_enc.pose_branch.fc1"),
+                "fc2": t_linear(sd, "cam_enc.pose_branch.fc2"),
+            },
+            "token_norm": t_layernorm(sd, "cam_enc.token_norm"),
+            "trunk": L.stack_params(
+                [
+                    _convert_block(sd, f"cam_enc.trunk.{i}", qk_norm=False, ls=True)
+                    for i in range(4)
+                ]
+            ),
+            "trunk_norm": t_layernorm(sd, "cam_enc.trunk_norm"),
+        }
+    return out

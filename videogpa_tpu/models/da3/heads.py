@@ -149,6 +149,49 @@ def dualdpt_forward(
     }
 
 
+def camera_enc_init(key: jax.Array, dim_out: int = 1024, dtype=jnp.float32) -> dict:
+    """CameraEnc (reference ``depth_anything_3/model/cam_enc.py:23-80``):
+    GT pose encoding -> MLP -> 4 transformer blocks -> camera tokens."""
+    from videogpa_tpu.ops.transformer import BlockConfig, block_init
+
+    keys = jax.random.split(key, 7)
+    bcfg = BlockConfig(dim=dim_out, num_heads=16, mlp_ratio=4.0, init_values=0.01)
+    return {
+        "pose_branch": {
+            "fc1": L.linear_init(keys[0], 9, dim_out // 2, dtype=dtype),
+            "fc2": L.linear_init(keys[1], dim_out // 2, dim_out, dtype=dtype),
+        },
+        "token_norm": L.layernorm_init(dim_out, dtype),
+        "trunk": L.stack_params(
+            [block_init(k, bcfg, dtype) for k in keys[2:6]]
+        ),
+        "trunk_norm": L.layernorm_init(dim_out, dtype),
+    }
+
+
+def camera_enc_forward(params: dict, ext: jax.Array, ixt: jax.Array,
+                       image_hw, attn_impl: str = "auto") -> jax.Array:
+    """ext: (B, S, 3/4, 4) w2c; ixt: (B, S, 3, 3) -> (B, S, dim) cam tokens."""
+    from videogpa_tpu.geometry import affine_inverse, extri_intri_to_pose_encoding
+    from videogpa_tpu.ops.transformer import BlockConfig, block_apply
+
+    if ext.shape[-2] == 3:
+        bottom = jnp.broadcast_to(jnp.array([0.0, 0, 0, 1]), ext.shape[:-2] + (1, 4))
+        ext = jnp.concatenate([ext, bottom], axis=-2)
+    c2w = affine_inverse(ext)[..., :3, :]
+    enc = extri_intri_to_pose_encoding(c2w, ixt, image_hw)
+    tok = L.mlp(params["pose_branch"], enc)
+    tok = L.layernorm(params["token_norm"], tok)
+    dim = tok.shape[-1]
+    bcfg = BlockConfig(dim=dim, num_heads=16, mlp_ratio=4.0, init_values=0.01)
+
+    def body(x, lp):
+        return block_apply(lp, x, bcfg, attn_impl=attn_impl), None
+
+    tok, _ = jax.lax.scan(body, tok, params["trunk"])
+    return L.layernorm(params["trunk_norm"], tok)
+
+
 def camera_dec_init(key: jax.Array, dim_in: int, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, 5)
     return {

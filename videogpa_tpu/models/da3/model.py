@@ -21,6 +21,8 @@ from videogpa_tpu.models.da3.config import DA3Config
 from videogpa_tpu.models.da3.heads import (
     camera_dec_forward,
     camera_dec_init,
+    camera_enc_forward,
+    camera_enc_init,
     dualdpt_forward,
     dualdpt_init,
 )
@@ -31,11 +33,12 @@ _IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def da3_init(key: jax.Array, cfg: DA3Config, dtype=jnp.float32) -> dict:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "backbone": aavit_init(k1, cfg, dtype),
         "head": dualdpt_init(k2, cfg, dtype),
         "cam_dec": camera_dec_init(k3, cfg.tokens_dim, dtype),
+        "cam_enc": camera_enc_init(k4, cfg.embed_dim, dtype),
     }
 
 
@@ -45,15 +48,26 @@ def da3_forward(
     cfg: DA3Config,
     attn_impl: str = "auto",
     compute_dtype=jnp.float32,
+    gt_extrinsics: Optional[jax.Array] = None,
+    gt_intrinsics: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """images: (B, S, 3, H, W), already ImageNet-normalized.
+
+    Optional GT camera conditioning (reference ``model/da3.py:126-130``):
+    cam tokens from CameraEnc replace the learned camera token.
 
     Returns dict: depth (B,S,H,W), depth_conf, ray, ray_conf,
     extrinsics (B,S,3,4) world->camera, intrinsics (B,S,3,3).
     """
     B, S, _, H, W = images.shape
+    cam_token = None
+    if gt_extrinsics is not None and "cam_enc" in params:
+        cam_token = camera_enc_forward(
+            params["cam_enc"], gt_extrinsics, gt_intrinsics, (H, W), attn_impl
+        ).astype(compute_dtype)
     feats = aavit_forward(
-        params["backbone"], images.astype(compute_dtype), cfg, attn_impl=attn_impl
+        params["backbone"], images.astype(compute_dtype), cfg,
+        cam_token=cam_token, attn_impl=attn_impl
     )
     feats = [(t.astype(jnp.float32), c.astype(jnp.float32)) for t, c in feats]
 
