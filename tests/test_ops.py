@@ -152,3 +152,30 @@ class TestConvTranspose:
             p = {"kernel": wj, "bias": jnp.asarray(m.bias.detach().numpy())}
             got = np.asarray(conv_transpose2d(p, jnp.asarray(x.numpy()), stride=k))
             np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestRingAttention:
+    def test_matches_full_attention_on_mesh(self):
+        from videogpa_tpu.ops.ring_attention import ring_attention_sharded
+        from videogpa_tpu.parallel import MeshAxes, make_mesh
+
+        mesh = make_mesh(MeshAxes(data=1, seq=8, model=1))
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        B, H, N, D = 1, 2, 8 * 16, 32
+        q = jax.random.normal(kq, (B, H, N, D))
+        k = jax.random.normal(kk, (B, H, N, D))
+        v = jax.random.normal(kv, (B, H, N, D))
+        got = ring_attention_sharded(q, k, v, mesh, impl="xla")
+        want = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_ring_single_device_degenerates(self):
+        from videogpa_tpu.ops.ring_attention import ring_attention_sharded
+        from videogpa_tpu.parallel import MeshAxes, make_mesh
+
+        mesh = make_mesh(MeshAxes(data=8, seq=1, model=1))
+        q = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 64, 16))
+        got = ring_attention_sharded(q, q, q, mesh, impl="xla")
+        want = mha_reference(q, q, q)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

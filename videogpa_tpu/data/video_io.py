@@ -95,6 +95,11 @@ def preprocess_images_vggt(
 
     if mode not in ("crop", "pad"):
         raise ValueError("mode must be 'crop' or 'pad'")
+    T, H, W = frames.shape[:3]
+    # fast path: already square at the target size (the scoring pipeline's
+    # center-crop emits 518x518) -> one vectorized normalize, no PIL
+    if H == target_size and W == target_size:
+        return frames.astype(np.float32).transpose(0, 3, 1, 2)[None] / 255.0
     out: List[np.ndarray] = []
     for frame in frames:
         img = Image.fromarray(frame, "RGB")

@@ -43,6 +43,7 @@ class TrainerConfig:
     max_steps: int = 10_000
     gradient_clip_val: float = 1.0
     weight_decay: float = 0.01  # torch AdamW default (reference optimizer)
+    accumulate_grad_batches: int = 1  # reference: 2 for T2V/Wan recipes
     lora_rank: int = 64
     lora_alpha: float = 128.0
     compute_dtype: Any = jnp.bfloat16
@@ -58,10 +59,13 @@ def make_optimizer(tcfg: TrainerConfig) -> optax.GradientTransformation:
         decay_steps=tcfg.max_steps,
         end_value=0.0,
     )
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(tcfg.gradient_clip_val),
         optax.adamw(schedule, weight_decay=tcfg.weight_decay),
     )
+    if tcfg.accumulate_grad_batches > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=tcfg.accumulate_grad_batches)
+    return opt
 
 
 @dataclasses.dataclass
