@@ -193,3 +193,62 @@ class TestConfidenceMask:
         mask = np.asarray(confidence_mask(conf, 50))  # keep top 50%
         assert mask.sum() == 50
         assert mask[-50:].all() and not mask[:50].any()
+
+
+class TestMatching:
+    def test_superpoint_shapes(self):
+        from videogpa_tpu.models.matching import (
+            SuperPointConfig, extract_keypoints, superpoint_forward, superpoint_init,
+        )
+
+        cfg = SuperPointConfig(max_num_keypoints=64)
+        params = superpoint_init(jax.random.PRNGKey(0), cfg)
+        img = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 64, 80))
+        scores, desc = superpoint_forward(params, img, cfg)
+        assert scores.shape == (2, 64, 80)
+        assert desc.shape == (2, 256, 8, 10)
+        kpts, ks, d, valid = extract_keypoints(scores, desc, cfg)
+        assert kpts.shape == (2, 64, 2)
+        assert d.shape == (2, 64, 256)
+        # descriptors unit-normalized
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-4
+        )
+
+    def test_lightglue_self_match_identity(self):
+        """Matching a keypoint set against itself must give the identity map."""
+        from videogpa_tpu.models.matching import (
+            LightGlueConfig, lightglue_init, lightglue_match,
+        )
+
+        cfg = LightGlueConfig(n_layers=2, filter_threshold=0.0)
+        params = lightglue_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        K = 16
+        kpts = jnp.asarray(rng.uniform(0, 64, (1, K, 2)), jnp.float32)
+        desc = jnp.asarray(rng.standard_normal((1, K, 256)), jnp.float32)
+        desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        mask = jnp.ones((1, K), bool)
+        matches, scores = lightglue_match(
+            params, kpts, desc, mask, kpts, desc, mask, (64, 64), cfg
+        )
+        m = np.asarray(matches[0])
+        assert (m == np.arange(K)).mean() > 0.9
+
+    def test_lightglue_respects_mask(self):
+        from videogpa_tpu.models.matching import (
+            LightGlueConfig, lightglue_init, lightglue_match,
+        )
+
+        cfg = LightGlueConfig(n_layers=1, filter_threshold=0.0)
+        params = lightglue_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        K = 8
+        kpts = jnp.asarray(rng.uniform(0, 32, (1, K, 2)), jnp.float32)
+        desc = jnp.asarray(rng.standard_normal((1, K, 256)), jnp.float32)
+        mask0 = jnp.ones((1, K), bool).at[0, 4:].set(False)
+        mask1 = jnp.ones((1, K), bool)
+        matches, _ = lightglue_match(
+            params, kpts, desc, mask0, kpts, desc, mask1, (32, 32), cfg
+        )
+        assert (np.asarray(matches[0])[4:] == -1).all()

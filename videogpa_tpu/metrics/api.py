@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from videogpa_tpu.metrics import functional as F
-from videogpa_tpu.metrics.epipolar import SIFTMatcher, epipolar_error
+from videogpa_tpu.metrics.epipolar import LightGlueMatcher, SIFTMatcher, epipolar_error
 from videogpa_tpu.models.lpips import lpips_distance
 
 
@@ -174,12 +174,12 @@ class EpipolarMetric(Metric):
     def __init__(self, descriptor_type: str = "sift", ratio_thresh: float = 0.75,
                  min_matches: int = 20, **_):
         super().__init__("Epipolar")
-        if descriptor_type != "sift":
-            raise NotImplementedError(
-                f"descriptor_type={descriptor_type!r}: only 'sift' is implemented "
-                "(LightGlue port tracked as follow-up)"
-            )
-        self.matcher = SIFTMatcher(ratio_thresh, min_matches)
+        if descriptor_type == "sift":
+            self.matcher = SIFTMatcher(ratio_thresh, min_matches)
+        elif descriptor_type == "lightglue":
+            self.matcher = LightGlueMatcher(min_matches=min_matches)
+        else:
+            raise ValueError(f"Unsupported descriptor type: {descriptor_type}")
 
     def compute(self, *, gt, rep, **kwargs) -> float:
         # reference computes temporal consistency of gt only

@@ -59,6 +59,83 @@ class SIFTMatcher:
         return pts1, pts2, len(good)
 
 
+class LightGlueMatcher:
+    """SuperPoint + LightGlue matcher (JAX) — the reference scorer's default
+    descriptor (reference ``replicate_scorer.py:46``).
+
+    Weights: pass converted param pytrees, or set VIDEOGPA_SUPERPOINT_PATH /
+    VIDEOGPA_LIGHTGLUE_PATH to .npz pytrees saved with
+    ``videogpa_tpu.checkpoint.save_pytree``.
+    """
+
+    def __init__(self, min_matches: int = 20, sp_params=None, lg_params=None):
+        import os
+
+        import jax
+
+        from videogpa_tpu.models.matching import (
+            LightGlueConfig,
+            SuperPointConfig,
+            lightglue_init,
+            superpoint_init,
+        )
+
+        self.min_matches = min_matches
+        self.sp_cfg = SuperPointConfig()
+        self.lg_cfg = LightGlueConfig()
+
+        def load(env, provided, init):
+            if provided is not None:
+                return provided
+            path = os.environ.get(env)
+            if path and os.path.exists(path):
+                from videogpa_tpu.checkpoint import load_pytree
+
+                return load_pytree(path)
+            return init(jax.random.PRNGKey(0))
+
+        self.sp_params = load("VIDEOGPA_SUPERPOINT_PATH", sp_params, superpoint_init)
+        self.lg_params = load("VIDEOGPA_LIGHTGLUE_PATH", lg_params, lightglue_init)
+
+    def get_matched_points(self, frame1: np.ndarray, frame2: np.ndarray):
+        import jax.numpy as jnp
+
+        from videogpa_tpu.models.matching import (
+            extract_keypoints,
+            lightglue_match,
+            superpoint_forward,
+        )
+
+        def gray(f):
+            if f.ndim == 3:
+                return (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2])
+            return f.astype(np.float32)
+
+        H, W = frame1.shape[:2]
+        # pad to /8-divisible
+        Hp, Wp = -(-H // 8) * 8, -(-W // 8) * 8
+        imgs = np.zeros((2, 1, Hp, Wp), np.float32)
+        imgs[0, 0, :H, :W] = gray(frame1) / 255.0
+        imgs[1, 0, :H, :W] = gray(frame2) / 255.0
+
+        scores, desc = superpoint_forward(self.sp_params, jnp.asarray(imgs), self.sp_cfg)
+        kpts, kp_scores, descs, valid = extract_keypoints(scores, desc, self.sp_cfg)
+        matches0, m_scores = lightglue_match(
+            self.lg_params,
+            kpts[:1], descs[:1], valid[:1],
+            kpts[1:], descs[1:], valid[1:],
+            (Hp, Wp), self.lg_cfg,
+        )
+        m = np.asarray(matches0[0])
+        good = m >= 0
+        n = int(good.sum())
+        if n < self.min_matches:
+            return None, None, n
+        pts1 = np.asarray(kpts[0])[good]
+        pts2 = np.asarray(kpts[1])[m[good]]
+        return pts1.astype(np.float32), pts2.astype(np.float32), n
+
+
 def frames_to_uint8(x) -> np.ndarray:
     """Accept (T,C,H,W)/(T,H,W,C) in [-1,1]/[0,1]/[0,255] -> (T,H,W,C) uint8."""
     x = np.asarray(x)

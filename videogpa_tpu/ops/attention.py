@@ -129,6 +129,9 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k):
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=INTERPRET,
     )(q, k, v)
     return out, lse
@@ -232,6 +235,9 @@ def _flash_bwd(res, g, block_q, block_k):
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=INTERPRET,
     )(q, k, v, g, lse, delta)
 
@@ -258,6 +264,9 @@ def _flash_bwd(res, g, block_q, block_k):
             pltpu.VMEM((block_k, D), jnp.float32),
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=INTERPRET,
     )(q, k, v, g, lse, delta)
     return dq, dk, dv
