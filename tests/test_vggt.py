@@ -56,3 +56,75 @@ class TestVGGTForward:
         assert len(encs) == cfg.camera_iterations
         # refinement iterations must differ (deltas accumulate)
         assert not np.allclose(np.asarray(encs[0]), np.asarray(encs[-1]))
+
+
+class TestTrackHead:
+    def test_tracking_smoke(self):
+        import jax.numpy as jnp
+
+        from videogpa_tpu.models.vggt.track import tracker_forward, tracker_init
+
+        key = jax.random.PRNGKey(0)
+        latent = 16
+        params = tracker_init(key, latent_dim=latent, hidden_size=32,
+                              corr_levels=3, corr_radius=2, depth=2)
+        B, S, N, HH, WW = 1, 3, 5, 16, 16
+        fmaps = jax.random.normal(jax.random.PRNGKey(1), (B, S, latent, HH, WW))
+        qp = jax.random.uniform(jax.random.PRNGKey(2), (B, N, 2)) * 24
+        coords, vis, conf = tracker_forward(
+            params, qp, fmaps, iters=2, stride=2, corr_levels=3, corr_radius=2,
+            latent_dim=latent,
+        )
+        assert len(coords) == 2
+        assert coords[-1].shape == (B, S, N, 2)
+        assert vis.shape == (B, S, N) and conf.shape == (B, S, N)
+        assert (np.asarray(vis) >= 0).all() and (np.asarray(vis) <= 1).all()
+        # query frame coords must remain fixed at the query points
+        np.testing.assert_allclose(
+            np.asarray(coords[-1][:, 0]), np.asarray(qp), atol=1e-4
+        )
+
+    def test_full_model_with_tracking(self):
+        from videogpa_tpu.models.vggt.track import track_head_init
+
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        # smaller tracker for the tiny config
+        import jax.numpy as jnp
+
+        from videogpa_tpu.models.vggt import model as M
+        from videogpa_tpu.models.vggt.heads import dpt_head_init
+        from videogpa_tpu.models.vggt.track import tracker_init
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        params["track_head"] = {
+            "feature_extractor": dpt_head_init(
+                k1, cfg, output_dim=0, features=16, feature_only=True
+            ),
+            "tracker": tracker_init(k2, latent_dim=16, hidden_size=32,
+                                    corr_levels=3, corr_radius=2, depth=2),
+        }
+        # monkeypatch default tracker hyperparams through direct call
+        from videogpa_tpu.models.vggt.heads import dpt_head_forward
+        from videogpa_tpu.models.vggt.track import tracker_forward
+        from videogpa_tpu.models.vggt.aggregator import aggregator_forward
+
+        images = jax.random.uniform(
+            jax.random.PRNGKey(1), (1, 2, 3, cfg.img_size, cfg.img_size)
+        )
+        layer_outputs, _ = aggregator_forward(
+            params["aggregator"], images, cfg, "xla", jnp.float32
+        )
+        fmaps = dpt_head_forward(
+            params["track_head"]["feature_extractor"],
+            layer_outputs.astype(jnp.float32), cfg,
+            (cfg.img_size, cfg.img_size),
+            feature_only=True, down_ratio=2, use_pos_embed=False,
+        )
+        qp = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 2)) * cfg.img_size
+        coords, vis, conf = tracker_forward(
+            params["track_head"]["tracker"], qp, fmaps, iters=2,
+            corr_levels=3, corr_radius=2, latent_dim=16,
+        )
+        assert coords[-1].shape == (1, 2, 4, 2)
+        assert np.isfinite(np.asarray(coords[-1])).all()

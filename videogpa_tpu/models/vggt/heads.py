@@ -140,10 +140,11 @@ def camera_head_forward(
 # ---------------------------------------------------------------------------
 
 def dpt_head_init(
-    key: jax.Array, cfg: VGGTConfig, output_dim: int, dtype=jnp.float32
+    key: jax.Array, cfg: VGGTConfig, output_dim: int, dtype=jnp.float32,
+    features: int = None, feature_only: bool = False,
 ) -> dict:
     oc = cfg.dpt_out_channels
-    f = cfg.dpt_features
+    f = features or cfg.dpt_features
     keys = iter(jax.random.split(key, 32))
     dim_in = cfg.tokens_dim
 
@@ -174,10 +175,15 @@ def dpt_head_init(
         "refinenet2": fusion(True),
         "refinenet3": fusion(True),
         "refinenet4": fusion(False),
-        "output_conv1": L.conv2d_init(next(keys), f, f // 2, 3, dtype=dtype),
-        "output_conv2a": L.conv2d_init(next(keys), f // 2, 32, 3, dtype=dtype),
-        "output_conv2b": L.conv2d_init(next(keys), 32, output_dim, 1, dtype=dtype),
-    }
+    } | (
+        {"output_conv1": L.conv2d_init(next(keys), f, f, 3, dtype=dtype)}
+        if feature_only
+        else {
+            "output_conv1": L.conv2d_init(next(keys), f, f // 2, 3, dtype=dtype),
+            "output_conv2a": L.conv2d_init(next(keys), f // 2, 32, 3, dtype=dtype),
+            "output_conv2b": L.conv2d_init(next(keys), 32, output_dim, 1, dtype=dtype),
+        }
+    )
 
 
 def _uv_pos_embed(ph: int, pw: int, channels: int, W: int, H: int) -> jax.Array:
@@ -235,8 +241,11 @@ def dpt_head_forward(
     layer_outputs: jax.Array,
     cfg: VGGTConfig,
     img_hw: Tuple[int, int],
-    activation: str,
-    conf_activation: str,
+    activation: str = "exp",
+    conf_activation: str = "expp1",
+    feature_only: bool = False,
+    down_ratio: int = 1,
+    use_pos_embed: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """DPT dense prediction.
 
@@ -258,7 +267,8 @@ def dpt_head_forward(
         x = L.layernorm(params["norm"], x)
         x = jnp.transpose(x, (0, 2, 1)).reshape(B * S, C2, ph, pw)
         x = L.conv2d(params["projects"][i], x)
-        x = x + _uv_pos_embed(ph, pw, x.shape[1], W, H).astype(x.dtype)
+        if use_pos_embed:
+            x = x + _uv_pos_embed(ph, pw, x.shape[1], W, H).astype(x.dtype)
         if i == 0:
             x = L.conv_transpose2d(params["resize0"], x, stride=4)
         elif i == 1:
@@ -276,10 +286,14 @@ def dpt_head_forward(
     out = _fusion(params["refinenet1"], out, l1)
     out = L.conv2d(params["output_conv1"], out, padding=1)
 
-    out = resize_bilinear(out, (ph * cfg.patch_size, pw * cfg.patch_size), align_corners=True)
-    out = out + _uv_pos_embed(
-        out.shape[-2], out.shape[-1], out.shape[1], W, H
-    ).astype(out.dtype)
+    out_hw = (ph * cfg.patch_size // down_ratio, pw * cfg.patch_size // down_ratio)
+    out = resize_bilinear(out, out_hw, align_corners=True)
+    if use_pos_embed:
+        out = out + _uv_pos_embed(
+            out.shape[-2], out.shape[-1], out.shape[1], W, H
+        ).astype(out.dtype)
+    if feature_only:
+        return out.reshape(B, S, *out.shape[1:])
     out = L.conv2d(params["output_conv2a"], out, padding=1)
     out = jax.nn.relu(out)
     out = L.conv2d(params["output_conv2b"], out)

@@ -7,8 +7,8 @@ prediction dict consumed by the reward pipeline
 The aggregator trunk runs in the caller's compute dtype (bfloat16 on TPU);
 heads run in float32, matching the reference's autocast policy.
 
-The track head (reference ``vggt/heads/track_head.py``) is not used by the
-VideoGPA scoring path (SURVEY.md §2.3) and is not implemented yet.
+The track head (reference ``vggt/heads/track_head.py``) is available via
+``enable_track``/``query_points`` (unused by the VideoGPA scoring path).
 """
 
 from __future__ import annotations
@@ -28,8 +28,9 @@ from videogpa_tpu.models.vggt.heads import (
 )
 
 
-def vggt_init(key: jax.Array, cfg: VGGTConfig, dtype=jnp.float32) -> dict:
-    k_agg, k_cam, k_depth, k_point = jax.random.split(key, 4)
+def vggt_init(key: jax.Array, cfg: VGGTConfig, dtype=jnp.float32,
+              enable_track: bool = False) -> dict:
+    k_agg, k_cam, k_depth, k_point, k_track = jax.random.split(key, 5)
     params = {"aggregator": aggregator_init(k_agg, cfg, dtype)}
     if cfg.enable_camera:
         params["camera_head"] = camera_head_init(k_cam, cfg, dtype)
@@ -37,6 +38,10 @@ def vggt_init(key: jax.Array, cfg: VGGTConfig, dtype=jnp.float32) -> dict:
         params["depth_head"] = dpt_head_init(k_depth, cfg, output_dim=2, dtype=dtype)
     if cfg.enable_point:
         params["point_head"] = dpt_head_init(k_point, cfg, output_dim=4, dtype=dtype)
+    if enable_track:
+        from videogpa_tpu.models.vggt.track import track_head_init
+
+        params["track_head"] = track_head_init(k_track, cfg, dtype=dtype)
     return params
 
 
@@ -46,6 +51,7 @@ def vggt_forward(
     cfg: VGGTConfig,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
+    query_points=None,
 ) -> Dict[str, jax.Array]:
     """Args:
         images: (B, S, 3, H, W) in [0, 1].
@@ -82,4 +88,15 @@ def vggt_forward(
         )
         preds["world_points"] = pts
         preds["world_points_conf"] = conf
+    if "track_head" in params and query_points is not None:
+        from videogpa_tpu.models.vggt.track import track_head_forward
+
+        if query_points.ndim == 2:
+            query_points = query_points[None]
+        track_list, vis, conf = track_head_forward(
+            params["track_head"], layer_outputs, (H, W), query_points, cfg
+        )
+        preds["track"] = track_list[-1]
+        preds["vis"] = vis
+        preds["conf"] = conf
     return preds
