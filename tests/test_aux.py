@@ -225,3 +225,46 @@ class TestPrefetch:
         assert len(batches) == 3
         seen = np.concatenate(batches)
         assert len(np.unique(seen)) == 9
+
+
+class TestInputProcessor:
+    def test_all_methods_divisible_by_14(self):
+        """Mirror of the reference inline self-test assertions
+        (input_processor.py:391-460)."""
+        from videogpa_tpu.data.input_processor import METHODS, process_one
+
+        rng = np.random.default_rng(0)
+        for (h, w) in [(480, 720), (377, 504), (700, 500)]:
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            for method in METHODS:
+                out, _ = process_one(img, 518, method)
+                assert out.shape[1] % 14 == 0 and out.shape[2] % 14 == 0, (method, out.shape)
+                if method.startswith("upper"):
+                    assert max(out.shape[1:]) <= 518 + 7
+                else:
+                    assert min(out.shape[1:]) >= 518 - 7
+
+    def test_intrinsics_tracking(self):
+        from videogpa_tpu.data.input_processor import process_one
+
+        rng = np.random.default_rng(1)
+        h, w = 480, 720
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        K = np.array([[1200.0, 0, w / 2], [0, 1100.0, h / 2], [0, 0, 1]])
+        out, K2 = process_one(img, 518, "upper_bound_resize", K)
+        Ho, Wo = out.shape[1:]
+        # focal scales with the resize ratio
+        np.testing.assert_allclose(K2[0, 0] / K[0, 0], Wo / w, rtol=0.05)
+        np.testing.assert_allclose(K2[1, 1] / K[1, 1], Ho / h, rtol=0.05)
+        # principal point stays centered
+        np.testing.assert_allclose(K2[0, 2], Wo / 2, rtol=0.05)
+
+    def test_batch_processor(self):
+        from videogpa_tpu.data.input_processor import InputProcessor
+
+        rng = np.random.default_rng(2)
+        imgs = [rng.integers(0, 255, (480, 720, 3), dtype=np.uint8) for _ in range(3)]
+        batch, Ks = InputProcessor()(imgs)
+        assert batch.shape[0] == 3 and batch.shape[1] == 3
+        assert batch.shape[2] % 14 == 0 and batch.shape[3] % 14 == 0
+        assert Ks == [None, None, None]

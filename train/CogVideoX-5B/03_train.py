@@ -29,6 +29,7 @@ DEFAULT_CONFIG = {
     "max_steps": 10000,
     "warmup_steps": 500,
     "batch_size": 1,
+    "accumulate_grad_batches": 2,
     "gradient_clip_val": 1.0,
     "lora_rank": 64,
     "lora_alpha": 128.0,

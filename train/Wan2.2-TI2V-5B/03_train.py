@@ -32,6 +32,7 @@ DEFAULT_CONFIG = {
     "max_steps": 10000,
     "warmup_steps": 500,
     "batch_size": 1,
+    "accumulate_grad_batches": 2,
     "lora_rank": 64,
     "lora_alpha": 128.0,
     "checkpoint_every_n_steps": 1000,
@@ -76,6 +77,7 @@ def main():
     tcfg = TrainerConfig(
         learning_rate=config["learning_rate"], beta=config["beta"],
         warmup_steps=config["warmup_steps"], max_steps=config["max_steps"],
+        accumulate_grad_batches=config.get("accumulate_grad_batches", 1),
         lora_rank=config["lora_rank"], lora_alpha=config["lora_alpha"],
     )
     lora = lora_init(jax.random.PRNGKey(0), cfg.num_layers, cfg.dim, rank=tcfg.lora_rank)

@@ -36,6 +36,7 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
         warmup_steps=config.get("warmup_steps", 500),
         max_steps=config.get("max_steps", 10_000),
         gradient_clip_val=config.get("gradient_clip_val", 1.0),
+        accumulate_grad_batches=config.get("accumulate_grad_batches", 1),
         lora_rank=config.get("lora_rank", 64),
         lora_alpha=config.get("lora_alpha", 128.0),
     )
