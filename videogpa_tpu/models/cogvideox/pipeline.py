@@ -179,11 +179,15 @@ def sample_i2v(
     return decode_latents(vae_params, latents, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_latents(vae_params, latents: jax.Array, cfg: CogVideoXConfig) -> jax.Array:
-    """(B, F, C, h, w) latents -> (B, 3, T, H, W) video in [-1, 1]."""
+    """(B, F, C, h, w) latents -> (B, 3, T, H, W) video in [-1, 1].
+
+    Large spatial grids decode through overlapping tiles (the reference's
+    enable_tiling) to bound peak HBM."""
+    from videogpa_tpu.models.cogvideox.vae import vae_decode_tiled
+
     z = jnp.transpose(latents, (0, 2, 1, 3, 4))
-    return jnp.clip(vae_decode(vae_params, z, cfg), -1.0, 1.0)
+    return jnp.clip(vae_decode_tiled(vae_params, z, cfg), -1.0, 1.0)
 
 
 def video_to_uint8(video: jax.Array) -> np.ndarray:

@@ -21,8 +21,11 @@ onto the MXU; bf16 compute with f32 norm statistics.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -317,3 +320,131 @@ def vae_decode(params: dict, latents: jax.Array, cfg: CogVideoXConfig) -> jax.Ar
             h = _upsample(block["upsample"], h, compress_time=i >= n_up - 1 - t_levels)
     h = jax.nn.silu(spatial_norm(dec["norm_out"], h, z))
     return causal_conv3d(dec["conv_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# Tiled encode/decode (the reference's enable_tiling/enable_slicing
+# equivalent, generate/CogVideoX-5B.py:20-21 — bounds peak activation memory
+# by decoding overlapping spatial tiles and linear-blending the seams)
+# ---------------------------------------------------------------------------
+
+def _blend_h(a: jax.Array, b: jax.Array, extent: int) -> jax.Array:
+    """Blend b's left columns into a's right columns with a linear ramp."""
+    ramp = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, 1, 1, -1)
+    left = a[..., -extent:]
+    right = b[..., :extent]
+    blended = left * (1 - ramp) + right * ramp
+    return jnp.concatenate([b[..., :0], blended, b[..., extent:]], axis=-1), blended
+
+
+def vae_decode_tiled(
+    params: dict,
+    latents: jax.Array,
+    cfg: CogVideoXConfig,
+    tile_latent: int = 32,
+    overlap_latent: int = 8,
+) -> jax.Array:
+    """Spatially-tiled decode: latent tiles (with overlap) are decoded
+    independently and seams are linearly blended in pixel space."""
+    B, C, T, H, W = latents.shape
+    if H <= tile_latent and W <= tile_latent:
+        return vae_decode(params, latents, cfg)
+    sc = cfg.spatial_compression_ratio
+    stride = tile_latent - overlap_latent
+    blend = overlap_latent * sc
+
+    @functools.partial(jax.jit, static_argnums=())
+    def decode_tile(z):
+        return vae_decode(params, z, cfg)
+
+    rows = []
+    for i0 in range(0, max(H - overlap_latent, 1), stride):
+        cols = []
+        i1 = min(i0 + tile_latent, H)
+        for j0 in range(0, max(W - overlap_latent, 1), stride):
+            j1 = min(j0 + tile_latent, W)
+            cols.append(np.array(decode_tile(latents[:, :, :, i0:i1, j0:j1])))
+            if j1 == W:
+                break
+        rows.append(cols)
+        if i1 == H:
+            break
+
+    # blend with numpy on host (the decoded video is a host artifact anyway)
+    ramp = lambda n: np.linspace(0, 1, n, endpoint=False)
+    out_rows = []
+    for r, cols in enumerate(rows):
+        row = cols[0]
+        for c in range(1, len(cols)):
+            nxt = cols[c]
+            w = ramp(blend).reshape(1, 1, 1, 1, -1)
+            nxt[..., :blend] = row[..., -blend:] * (1 - w) + nxt[..., :blend] * w
+            row = np.concatenate([row[..., :-blend], nxt], axis=-1)
+        out_rows.append(row)
+    out = out_rows[0]
+    for r in range(1, len(out_rows)):
+        nxt = out_rows[r]
+        w = ramp(blend).reshape(1, 1, 1, -1, 1)
+        nxt[..., :blend, :] = out[..., -blend:, :] * (1 - w) + nxt[..., :blend, :] * w
+        out = np.concatenate([out[..., :-blend, :], nxt], axis=-2)
+    return jnp.asarray(out)
+
+
+def vae_encode_tiled(
+    params: dict,
+    video: jax.Array,
+    cfg: CogVideoXConfig,
+    key: Optional[jax.Array] = None,
+    sample: bool = True,
+    tile_pixels: int = 256,
+    overlap_pixels: int = 64,
+) -> jax.Array:
+    """Spatially-tiled encode with latent-space seam blending."""
+    B, C, T, H, W = video.shape
+    if H <= tile_pixels and W <= tile_pixels:
+        return vae_encode(params, video, cfg, key=key, sample=sample)
+    sc = cfg.spatial_compression_ratio
+    stride = tile_pixels - overlap_pixels
+    blend = overlap_pixels // sc
+
+    @functools.partial(jax.jit, static_argnums=())
+    def encode_tile(v, k):
+        return vae_encode(params, v, cfg, key=k, sample=sample)
+
+    if key is None:
+        import jax as _jax
+
+        key = _jax.random.PRNGKey(0)
+    import jax as _jax
+
+    rows = []
+    for i0 in range(0, max(H - overlap_pixels, 1), stride):
+        cols = []
+        i1 = min(i0 + tile_pixels, H)
+        for j0 in range(0, max(W - overlap_pixels, 1), stride):
+            j1 = min(j0 + tile_pixels, W)
+            key, sub = _jax.random.split(key)
+            cols.append(np.array(encode_tile(video[:, :, :, i0:i1, j0:j1], sub)))
+            if j1 == W:
+                break
+        rows.append(cols)
+        if i1 == H:
+            break
+
+    ramp = lambda n: np.linspace(0, 1, n, endpoint=False)
+    out_rows = []
+    for cols in rows:
+        row = cols[0]
+        for c in range(1, len(cols)):
+            nxt = cols[c]
+            w = ramp(blend).reshape(1, 1, 1, 1, -1)
+            nxt[..., :blend] = row[..., -blend:] * (1 - w) + nxt[..., :blend] * w
+            row = np.concatenate([row[..., :-blend], nxt], axis=-1)
+        out_rows.append(row)
+    out = out_rows[0]
+    for r in range(1, len(out_rows)):
+        nxt = out_rows[r]
+        w = ramp(blend).reshape(1, 1, 1, -1, 1)
+        nxt[..., :blend, :] = out[..., -blend:, :] * (1 - w) + nxt[..., :blend, :] * w
+        out = np.concatenate([out[..., :-blend, :], nxt], axis=-2)
+    return jnp.asarray(out)
