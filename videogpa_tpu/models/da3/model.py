@@ -98,8 +98,14 @@ def da3_inference(
     cfg: DA3Config,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
+    gt_extrinsics: Optional[np.ndarray] = None,
 ) -> DA3Prediction:
-    """frames: (S, H, W, 3) uint8 RGB (pre-resized to /14-divisible)."""
+    """frames: (S, H, W, 3) uint8 RGB (pre-resized to /14-divisible).
+
+    With gt_extrinsics (S, 3/4, 4) the predicted trajectory is aligned to
+    them via Umeyama Sim(3) — RANSAC when >= 10 views, mirroring reference
+    ``api.py:341-365``.
+    """
     imgs = frames.astype(np.float32) / 255.0
     mean = np.asarray(_IMAGENET_MEAN, np.float32)
     std = np.asarray(_IMAGENET_STD, np.float32)
@@ -107,10 +113,21 @@ def da3_inference(
     x = jnp.asarray(normed.transpose(0, 3, 1, 2))[None]  # (1, S, 3, H, W)
 
     out = da3_forward(params, x, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype)
+    extr = np.asarray(out["extrinsics"][0])
+    depth = np.asarray(out["depth"][0])
+    if gt_extrinsics is not None:
+        from videogpa_tpu.geometry.alignment import align_poses_umeyama
+
+        _, _, scale, aligned = align_poses_umeyama(
+            gt_extrinsics, extr, return_aligned=True,
+            ransac=len(extr) >= 10, random_state=0,
+        )
+        extr = aligned[:, :3].astype(np.float32)
+        depth = depth * scale  # metric scale follows the trajectory alignment
     return DA3Prediction(
-        depth=np.asarray(out["depth"][0]),
+        depth=depth,
         conf=np.asarray(out["depth_conf"][0]),
-        extrinsics=np.asarray(out["extrinsics"][0]),
+        extrinsics=extr,
         intrinsics=np.asarray(out["intrinsics"][0]),
         processed_images=(imgs * 255.0).astype(np.float32),
     )

@@ -74,8 +74,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s, *, scale, n_
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < n_valid, s, _NEG_INF)
+    if n_valid % block_k != 0:  # skip the mask pass when block-aligned
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < n_valid, s, _NEG_INF)
 
     m_prev = m_s[:, :1]  # (BQ, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -155,8 +156,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    p = jnp.where(col < n_valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    if n_valid % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        p = jnp.where(col < n_valid, p, 0.0)
 
     do = do_ref[0].astype(jnp.float32)
     dp = jax.lax.dot_general(
@@ -189,8 +192,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    p = jnp.where(col < n_valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    if n_valid % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        p = jnp.where(col < n_valid, p, 0.0)
 
     do = do_ref[0].astype(jnp.float32)
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
