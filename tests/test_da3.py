@@ -159,3 +159,56 @@ class TestAlignment:
             [ext_ref, np.tile([[0, 0, 0, 1.0]], (n, 1, 1))], axis=1)[:, :3, 3], axis=1)
         # inliers align well despite the outlier
         assert np.median(errs) < 0.1
+
+
+class TestGaussianBranch:
+    def test_adapter_geometry(self):
+        """Gaussian means must equal the depth unprojection (no offsets)."""
+        from videogpa_tpu.models.da3.gaussians import gaussian_adapter, gs_raw_dim
+
+        B, V, H, W = 1, 2, 8, 8
+        rng = np.random.default_rng(0)
+        E = jnp.tile(jnp.eye(4)[None, None], (B, V, 1, 1))
+        K = jnp.tile(
+            jnp.array([[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]])[None, None],
+            (B, V, 1, 1),
+        )
+        depths = jnp.asarray(rng.uniform(1, 4, (B, V, H, W)), jnp.float32)
+        d_in = gs_raw_dim(0, pred_offset_xy=True)
+        raw = jnp.zeros((B, V, H, W, d_in))
+        opac = jnp.full((B, V, H, W), 0.7)
+        g = gaussian_adapter(E, K, depths, opac, raw, (H, W))
+        assert g.means.shape == (B, V * H * W, 3)
+        assert g.rotations.shape == (B, V * H * W, 4)
+        # zero raw quat -> normalized garbage is fine; means z == depth for identity cam
+        z = np.asarray(g.means[0, :, 2]).reshape(V, H, W)
+        np.testing.assert_allclose(z, np.asarray(depths[0]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g.opacities), 0.7)
+        assert (np.asarray(g.scales) > 0).all()
+
+    def test_gsdpt_and_ply(self, tmp_path):
+        from videogpa_tpu.models.da3.gaussians import (
+            Gaussians, gaussian_adapter, gs_raw_dim, gsdpt_forward, gsdpt_init,
+            save_gs_ply,
+        )
+        from videogpa_tpu.models.da3.vit import aavit_forward, aavit_init
+
+        cfg = DA3Config.tiny()
+        vit_params = aavit_init(jax.random.PRNGKey(0), cfg)
+        gs_params = gsdpt_init(jax.random.PRNGKey(1), cfg)
+        B, V = 1, 2
+        imgs = jax.random.uniform(jax.random.PRNGKey(2), (B, V, 3, cfg.img_size, cfg.img_size))
+        feats = aavit_forward(vit_params, imgs, cfg, attn_impl="xla")
+        raw, opac = gsdpt_forward(gs_params, feats, imgs, cfg)
+        assert raw.shape == (B, V, cfg.img_size, cfg.img_size, gs_raw_dim(0))
+        assert opac.shape == (B, V, cfg.img_size, cfg.img_size)
+
+        E = jnp.tile(jnp.eye(4)[None, None], (B, V, 1, 1))
+        K = jnp.tile(jnp.array([[30.0, 0, 28], [0, 30.0, 28], [0, 0, 1]])[None, None], (B, V, 1, 1))
+        depths = jnp.ones((B, V, cfg.img_size, cfg.img_size)) * 2
+        g = gaussian_adapter(E, K, depths, opac, raw, (cfg.img_size, cfg.img_size))
+        path = str(tmp_path / "scene_gs.ply")
+        save_gs_ply(g, path)
+        with open(path, "rb") as f:
+            head = f.read(800).decode("ascii", "ignore")
+        assert "f_dc_0" in head and "opacity" in head and "rot_3" in head
