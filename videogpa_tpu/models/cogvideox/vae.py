@@ -337,6 +337,44 @@ def _blend_h(a: jax.Array, b: jax.Array, extent: int) -> jax.Array:
     return jnp.concatenate([b[..., :0], blended, b[..., extent:]], axis=-1), blended
 
 
+def _tile_positions(size: int, tile: int, overlap: int):
+    """Uniform-size tile start positions (last tile end-aligned) so only ONE
+    tile shape is ever compiled."""
+    if size <= tile:
+        return [0]
+    stride = tile - overlap
+    pos = list(range(0, size - tile, stride))
+    pos.append(size - tile)
+    return pos
+
+
+def _blend_tiles(tiles, positions_h, positions_w, tile_h, tile_w, out_h, out_w):
+    """Weighted-average stitching with linear ramps on overlapped borders."""
+    sample = tiles[(positions_h[0], positions_w[0])]
+    shape = sample.shape[:-2] + (out_h, out_w)
+    acc = np.zeros(shape, np.float32)
+    wacc = np.zeros((out_h, out_w), np.float32)
+
+    def ramp_1d(n, first, last):
+        w = np.ones(n, np.float32)
+        edge = min(n // 2, 16)
+        if not first:
+            w[:edge] = np.linspace(0, 1, edge, endpoint=False)
+        if not last:
+            w[-edge:] = np.linspace(1, 0, edge, endpoint=False)
+        return w
+
+    for hi, i0 in enumerate(positions_h):
+        for wi, j0 in enumerate(positions_w):
+            t = tiles[(i0, j0)].astype(np.float32)
+            wh = ramp_1d(tile_h, hi == 0, hi == len(positions_h) - 1)
+            ww = ramp_1d(tile_w, wi == 0, wi == len(positions_w) - 1)
+            wmap = wh[:, None] * ww[None, :]
+            acc[..., i0 : i0 + tile_h, j0 : j0 + tile_w] += t * wmap
+            wacc[i0 : i0 + tile_h, j0 : j0 + tile_w] += wmap
+    return acc / np.maximum(wacc, 1e-8)
+
+
 def vae_decode_tiled(
     params: dict,
     latents: jax.Array,
@@ -344,50 +382,31 @@ def vae_decode_tiled(
     tile_latent: int = 32,
     overlap_latent: int = 8,
 ) -> jax.Array:
-    """Spatially-tiled decode: latent tiles (with overlap) are decoded
-    independently and seams are linearly blended in pixel space."""
+    """Spatially-tiled decode: uniform latent tiles (one compiled shape),
+    linear-ramp weighted stitching in pixel space."""
     B, C, T, H, W = latents.shape
     if H <= tile_latent and W <= tile_latent:
         return vae_decode(params, latents, cfg)
     sc = cfg.spatial_compression_ratio
-    stride = tile_latent - overlap_latent
-    blend = overlap_latent * sc
+    th = min(tile_latent, H)
+    tw = min(tile_latent, W)
 
     @functools.partial(jax.jit, static_argnums=())
     def decode_tile(z):
         return vae_decode(params, z, cfg)
 
-    rows = []
-    for i0 in range(0, max(H - overlap_latent, 1), stride):
-        cols = []
-        i1 = min(i0 + tile_latent, H)
-        for j0 in range(0, max(W - overlap_latent, 1), stride):
-            j1 = min(j0 + tile_latent, W)
-            cols.append(np.array(decode_tile(latents[:, :, :, i0:i1, j0:j1])))
-            if j1 == W:
-                break
-        rows.append(cols)
-        if i1 == H:
-            break
-
-    # blend with numpy on host (the decoded video is a host artifact anyway)
-    ramp = lambda n: np.linspace(0, 1, n, endpoint=False)
-    out_rows = []
-    for r, cols in enumerate(rows):
-        row = cols[0]
-        for c in range(1, len(cols)):
-            nxt = cols[c]
-            w = ramp(blend).reshape(1, 1, 1, 1, -1)
-            nxt[..., :blend] = row[..., -blend:] * (1 - w) + nxt[..., :blend] * w
-            row = np.concatenate([row[..., :-blend], nxt], axis=-1)
-        out_rows.append(row)
-    out = out_rows[0]
-    for r in range(1, len(out_rows)):
-        nxt = out_rows[r]
-        w = ramp(blend).reshape(1, 1, 1, -1, 1)
-        nxt[..., :blend, :] = out[..., -blend:, :] * (1 - w) + nxt[..., :blend, :] * w
-        out = np.concatenate([out[..., :-blend, :], nxt], axis=-2)
-    return jnp.asarray(out)
+    pos_h = _tile_positions(H, th, overlap_latent)
+    pos_w = _tile_positions(W, tw, overlap_latent)
+    tiles = {}
+    for i0 in pos_h:
+        for j0 in pos_w:
+            out = np.array(decode_tile(latents[:, :, :, i0 : i0 + th, j0 : j0 + tw]))
+            tiles[(i0 * sc, j0 * sc)] = out
+    stitched = _blend_tiles(
+        tiles, [p * sc for p in pos_h], [p * sc for p in pos_w],
+        th * sc, tw * sc, H * sc, W * sc,
+    )
+    return jnp.asarray(stitched)
 
 
 def vae_encode_tiled(
@@ -399,52 +418,35 @@ def vae_encode_tiled(
     tile_pixels: int = 256,
     overlap_pixels: int = 64,
 ) -> jax.Array:
-    """Spatially-tiled encode with latent-space seam blending."""
+    """Spatially-tiled encode: uniform pixel tiles, weighted latent stitching."""
     B, C, T, H, W = video.shape
     if H <= tile_pixels and W <= tile_pixels:
         return vae_encode(params, video, cfg, key=key, sample=sample)
     sc = cfg.spatial_compression_ratio
-    stride = tile_pixels - overlap_pixels
-    blend = overlap_pixels // sc
+    th = min(tile_pixels, H)
+    tw = min(tile_pixels, W)
 
     @functools.partial(jax.jit, static_argnums=())
     def encode_tile(v, k):
         return vae_encode(params, v, cfg, key=k, sample=sample)
 
-    if key is None:
-        import jax as _jax
-
-        key = _jax.random.PRNGKey(0)
     import jax as _jax
 
-    rows = []
-    for i0 in range(0, max(H - overlap_pixels, 1), stride):
-        cols = []
-        i1 = min(i0 + tile_pixels, H)
-        for j0 in range(0, max(W - overlap_pixels, 1), stride):
-            j1 = min(j0 + tile_pixels, W)
+    if key is None:
+        key = _jax.random.PRNGKey(0)
+    pos_h = _tile_positions(H, th, overlap_pixels)
+    pos_w = _tile_positions(W, tw, overlap_pixels)
+    # positions must be /sc-aligned so latent tiles stitch on integer cells
+    pos_h = [p // sc * sc for p in pos_h]
+    pos_w = [p // sc * sc for p in pos_w]
+    tiles = {}
+    for i0 in pos_h:
+        for j0 in pos_w:
             key, sub = _jax.random.split(key)
-            cols.append(np.array(encode_tile(video[:, :, :, i0:i1, j0:j1], sub)))
-            if j1 == W:
-                break
-        rows.append(cols)
-        if i1 == H:
-            break
-
-    ramp = lambda n: np.linspace(0, 1, n, endpoint=False)
-    out_rows = []
-    for cols in rows:
-        row = cols[0]
-        for c in range(1, len(cols)):
-            nxt = cols[c]
-            w = ramp(blend).reshape(1, 1, 1, 1, -1)
-            nxt[..., :blend] = row[..., -blend:] * (1 - w) + nxt[..., :blend] * w
-            row = np.concatenate([row[..., :-blend], nxt], axis=-1)
-        out_rows.append(row)
-    out = out_rows[0]
-    for r in range(1, len(out_rows)):
-        nxt = out_rows[r]
-        w = ramp(blend).reshape(1, 1, 1, -1, 1)
-        nxt[..., :blend, :] = out[..., -blend:, :] * (1 - w) + nxt[..., :blend, :] * w
-        out = np.concatenate([out[..., :-blend, :], nxt], axis=-2)
-    return jnp.asarray(out)
+            out = np.array(encode_tile(video[:, :, :, i0 : i0 + th, j0 : j0 + tw], sub))
+            tiles[(i0 // sc, j0 // sc)] = out
+    stitched = _blend_tiles(
+        tiles, [p // sc for p in pos_h], [p // sc for p in pos_w],
+        th // sc, tw // sc, H // sc, W // sc,
+    )
+    return jnp.asarray(stitched)
