@@ -29,9 +29,10 @@ def main():
     parser.add_argument("--num_frames", type=int, default=NUM_FRAMES)
     args = parser.parse_args()
 
+    from videogpa_tpu.cli.score import score_groups
     from videogpa_tpu.metrics import ConsistencyScore
     from videogpa_tpu.reward import VideoProcessor
-    from videogpa_tpu.utils import safe_load_json, safe_save_json
+    from videogpa_tpu.utils import safe_load_json
 
     if args.backbone == "da3":
         from videogpa_tpu.models.loader import load_da3
@@ -48,40 +49,13 @@ def main():
     )
 
     data = safe_load_json(args.input_json)
-    groups = data["groups"]
-
-    # resume: previously scored videos keep their scores
-    scored = {}
-    if os.path.exists(args.output_json):
-        prev = safe_load_json(args.output_json)
-        for g in prev.get("groups", []):
-            for v in g.get("videos", []):
-                if "consistency_score" in v:
-                    scored[v["video_path"]] = (
-                        v["consistency_score"], v.get("motion_norm", 0.0)
-                    )
-
     t0 = time.time()
-    n_done = n_fail = 0
-    for gi, group in enumerate(groups):
-        for video in group.get("videos", []):
-            vp_path = video["video_path"]
-            if vp_path in scored:
-                video["consistency_score"], video["motion_norm"] = scored[vp_path]
-                continue
-            full = os.path.join(args.base_dir, vp_path) if args.base_dir else vp_path
-            try:
-                res = vp.process(full, thresholds=THRESHOLDS, num_frames=args.num_frames)
-                video["consistency_score"] = float(res[0]["Consistency_Score"])
-                video["motion_norm"] = float(res[0]["motion_norm"])
-                n_done += 1
-            except Exception as e:  # per-item isolation (reference behavior)
-                print(f"  failed {vp_path}: {e}")
-                n_fail += 1
-        safe_save_json(data, args.output_json)  # atomic incremental save
-        print(f"[{gi + 1}/{len(groups)}] scored={n_done} failed={n_fail}")
+    stats = score_groups(
+        vp, data, args.output_json, base_dir=args.base_dir,
+        num_frames=args.num_frames, thresholds=THRESHOLDS,
+    )
     hours = (time.time() - t0) / 3600
-    print(f"Done in {hours:.2f} h -> {args.output_json}")
+    print(f"Done in {hours:.2f} h ({stats}) -> {args.output_json}")
 
 
 if __name__ == "__main__":

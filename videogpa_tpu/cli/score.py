@@ -1,0 +1,64 @@
+"""Scoring driver core: write consistency scores into groups metadata.
+
+The logic of reference ``train/01_preference_pair.py:126-191`` factored into
+a callable (the CLI wraps it): per candidate video run the reward processor,
+record consistency_score + motion_norm, resume previously-scored entries,
+isolate per-item failures, save atomically after every group.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+from videogpa_tpu.utils import safe_load_json, safe_save_json
+
+
+def load_resume_map(output_json: str) -> Dict[str, Any]:
+    scored: Dict[str, Any] = {}
+    if os.path.exists(output_json):
+        prev = safe_load_json(output_json)
+        for g in prev.get("groups", []):
+            for v in g.get("videos", []):
+                if "consistency_score" in v:
+                    scored[v["video_path"]] = (
+                        v["consistency_score"],
+                        v.get("motion_norm", 0.0),
+                    )
+    return scored
+
+
+def score_groups(
+    processor,
+    data: dict,
+    output_json: str,
+    base_dir: str = "",
+    num_frames: int = 10,
+    thresholds=(0,),
+    resume: bool = True,
+) -> dict:
+    """Score every candidate video in data['groups'] in place; returns stats."""
+    scored = load_resume_map(output_json) if resume else {}
+    n_done = n_fail = n_skip = 0
+    groups = data["groups"]
+    for gi, group in enumerate(groups):
+        for video in group.get("videos", []):
+            vp_path = video["video_path"]
+            if vp_path in scored:
+                video["consistency_score"], video["motion_norm"] = scored[vp_path]
+                n_skip += 1
+                continue
+            full = os.path.join(base_dir, vp_path) if base_dir else vp_path
+            try:
+                res = processor.process(
+                    full, thresholds=list(thresholds), num_frames=num_frames
+                )
+                th = thresholds[0]
+                video["consistency_score"] = float(res[th]["Consistency_Score"])
+                video["motion_norm"] = float(res[th]["motion_norm"])
+                n_done += 1
+            except Exception as e:  # per-item isolation (reference behavior)
+                print(f"  failed {vp_path}: {e}")
+                n_fail += 1
+        safe_save_json(data, output_json)
+    return {"scored": n_done, "failed": n_fail, "resumed": n_skip}

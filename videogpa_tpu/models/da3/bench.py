@@ -38,6 +38,7 @@ class Scene:
     frames: np.ndarray  # (S, H, W, 3) uint8
     gt_extrinsics: Optional[np.ndarray] = None  # (S, 3, 4) w2c
     gt_intrinsics: Optional[np.ndarray] = None
+    gt_points: Optional[np.ndarray] = None  # (N, 3) GT surface point cloud
 
 
 class BenchDataset:
@@ -78,6 +79,7 @@ def _npz_dir_factory():
                 frames=d["frames"],
                 gt_extrinsics=d.get("extrinsics"),
                 gt_intrinsics=d.get("intrinsics"),
+                gt_points=d.get("points"),
             )
 
     return NpzDirDataset()
@@ -132,15 +134,47 @@ def auc_at(errors: np.ndarray, max_deg: float = 30.0) -> float:
 # ---------------------------------------------------------------------------
 
 class Evaluator:
-    """Modes: 'pose' (more to come). Scene-sharded like the reference."""
+    """Modes: 'pose', 'recon_unposed', 'recon_posed'. Scene-sharded.
+
+    Recon modes mirror reference ``bench/evaluator.py:306-368``: fuse depth
+    maps into a TSDF (predicted poses for recon_unposed — aligned to the GT
+    trajectory first, as the reference's unposed exports are — or GT poses
+    for recon_posed), then chamfer/F-score against the GT point cloud.
+    """
+
+    VALID_MODES = ("pose", "recon_unposed", "recon_posed")
 
     def __init__(self, params, cfg, mode: str = "pose",
-                 shard_id: int = 0, total_shards: int = 1):
+                 shard_id: int = 0, total_shards: int = 1,
+                 voxel_size: float = 0.04, fscore_threshold: float = 0.05):
+        if mode not in self.VALID_MODES:
+            raise ValueError(f"mode {mode!r} not in {self.VALID_MODES}")
         self.params = params
         self.cfg = cfg
         self.mode = mode
         self.shard_id = shard_id
         self.total_shards = total_shards
+        self.voxel_size = voxel_size
+        self.fscore_threshold = fscore_threshold
+
+    def _eval_recon(self, scene: Scene, pred) -> dict:
+        from videogpa_tpu.models.da3.recon import (
+            evaluate_3d_reconstruction, fuse_depths_tsdf,
+        )
+
+        if self.mode == "recon_posed" and scene.gt_extrinsics is not None:
+            extr = scene.gt_extrinsics
+            intr = (scene.gt_intrinsics if scene.gt_intrinsics is not None
+                    else pred.intrinsics)
+        else:
+            extr, intr = pred.extrinsics, pred.intrinsics
+        fused = fuse_depths_tsdf(
+            pred.depth, intr, extr, voxel_size=self.voxel_size,
+        )
+        return evaluate_3d_reconstruction(
+            fused, scene.gt_points, threshold=self.fscore_threshold,
+            down_sample=self.voxel_size,
+        )
 
     def run(self, dataset: BenchDataset, out_json: Optional[str] = None) -> dict:
         from videogpa_tpu.models.da3.model import da3_inference
@@ -149,7 +183,12 @@ class Evaluator:
         rows = []
         for name in scenes:
             scene = dataset.get_data(name)
-            pred = da3_inference(self.params, scene.frames, self.cfg)
+            # unposed recon still aligns the trajectory to GT (sim3) so the
+            # fused cloud lives in the GT frame, like the reference's exports
+            gt_for_align = (scene.gt_extrinsics
+                            if self.mode == "recon_unposed" else None)
+            pred = da3_inference(self.params, scene.frames, self.cfg,
+                                 gt_extrinsics=gt_for_align)
             row = {"scene": name, "views": int(scene.frames.shape[0])}
             if self.mode == "pose" and scene.gt_extrinsics is not None:
                 rot, trans = relative_pose_errors(
@@ -160,9 +199,12 @@ class Evaluator:
                     rta5=float((trans <= 5).mean()),
                     auc30=auc_at(np.maximum(rot, trans), 30.0),
                 )
+            elif self.mode.startswith("recon") and scene.gt_points is not None:
+                row.update(self._eval_recon(scene, pred))
             rows.append(row)
         summary = {"mode": self.mode, "scenes": len(rows), "rows": rows}
-        for key in ("rra5", "rta5", "auc30"):
+        for key in ("rra5", "rta5", "auc30", "acc", "comp", "overall",
+                    "precision", "recall", "fscore"):
             vals = [r[key] for r in rows if key in r]
             if vals:
                 summary[f"mean_{key}"] = float(np.mean(vals))

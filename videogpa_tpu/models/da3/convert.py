@@ -28,15 +28,17 @@ def _convert_aavit(sd: Mapping[str, np.ndarray], cfg: DA3Config, pfx: str) -> di
         _convert_block(sd, f"{pfx}.blocks.{i}", qk_norm=True, ls=True)
         for i in range(cfg.alt_start, cfg.depth)
     ]
-    return {
+    out = {
         "patch_embed": t_conv2d(sd, f"{pfx}.patch_embed.proj"),
         "cls_token": t_array(sd, f"{pfx}.cls_token"),
         "pos_embed": t_array(sd, f"{pfx}.pos_embed"),
-        "camera_token": t_array(sd, f"{pfx}.camera_token"),
         "blocks_pre": L.stack_params(pre),
         "blocks_alt": alt,
         "norm": t_layernorm(sd, f"{pfx}.norm"),
     }
+    if f"{pfx}.camera_token" in sd:  # absent in mono/metric checkpoints
+        out["camera_token"] = t_array(sd, f"{pfx}.camera_token")
+    return out
 
 
 def _convert_fusion(sd, pfx):
@@ -97,6 +99,9 @@ def convert_da3(sd: Mapping[str, np.ndarray], cfg: DA3Config) -> dict:
             "fc_fov": t_linear(sd, "cam_dec.fc_fov.0"),
         },
     }
+    if "head.scratch.sky_output_conv2.0.weight" in sd:  # mono/metric DPT
+        out["head"]["sky_conv2a"] = t_conv2d(sd, "head.scratch.sky_output_conv2.0")
+        out["head"]["sky_conv2b"] = t_conv2d(sd, "head.scratch.sky_output_conv2.2")
     if "cam_enc.token_norm.weight" in sd:
         out["cam_enc"] = {
             "pose_branch": {
@@ -113,3 +118,39 @@ def convert_da3(sd: Mapping[str, np.ndarray], cfg: DA3Config) -> dict:
             "trunk_norm": t_layernorm(sd, "cam_enc.trunk_norm"),
         }
     return out
+
+
+def convert_da3_mono(sd: Mapping[str, np.ndarray], cfg: DA3Config) -> dict:
+    """da3mono/da3metric checkpoints: plain trunk + single DPT w/ sky head.
+
+    Reference module tree per ``configs/da3mono-large.yaml``: all 24 backbone
+    blocks are plain DINOv2 blocks (``alt_start: -1``) and the head is
+    ``model/dpt.py::DPT`` (same scratch key layout as the DualDPT main
+    branch, plus ``scratch.sky_output_conv2``).
+    """
+    import dataclasses
+
+    pfx = "backbone.pretrained"
+    trunk_cfg = dataclasses.replace(cfg, alt_start=cfg.depth)
+    backbone = _convert_aavit(sd, trunk_cfg, pfx)
+    backbone.pop("camera_token", None)
+    backbone.pop("blocks_alt", None)
+    hp = "head"
+    head = {
+        "norm": t_layernorm(sd, f"{hp}.norm"),
+        "projects": [t_conv2d(sd, f"{hp}.projects.{i}") for i in range(4)],
+        "resize0": t_conv_transpose2d(sd, f"{hp}.resize_layers.0"),
+        "resize1": t_conv_transpose2d(sd, f"{hp}.resize_layers.1"),
+        "resize3": t_conv2d(sd, f"{hp}.resize_layers.3"),
+        "layer_rn": [t_conv2d(sd, f"{hp}.scratch.layer{i + 1}_rn") for i in range(4)],
+        "refinenet1": _convert_fusion(sd, f"{hp}.scratch.refinenet1"),
+        "refinenet2": _convert_fusion(sd, f"{hp}.scratch.refinenet2"),
+        "refinenet3": _convert_fusion(sd, f"{hp}.scratch.refinenet3"),
+        "refinenet4": _convert_fusion(sd, f"{hp}.scratch.refinenet4"),
+        "output_conv1": t_conv2d(sd, f"{hp}.scratch.output_conv1"),
+        "output_conv2a": t_conv2d(sd, f"{hp}.scratch.output_conv2.0"),
+        "output_conv2b": t_conv2d(sd, f"{hp}.scratch.output_conv2.2"),
+        "sky_conv2a": t_conv2d(sd, f"{hp}.scratch.sky_output_conv2.0"),
+        "sky_conv2b": t_conv2d(sd, f"{hp}.scratch.sky_output_conv2.2"),
+    }
+    return {"backbone": backbone, "head": head}

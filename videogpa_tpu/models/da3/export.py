@@ -184,3 +184,36 @@ def export_depth_vis(prediction, out_dir: str, **_) -> str:
         vis = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_TURBO)
         cv2.imwrite(os.path.join(d, f"depth_{i:05d}.png"), vis)
     return d
+
+
+@register("gs_ply")
+def export_gs_ply(prediction, out_dir: str, **_) -> str:
+    """3DGS PLY from the gaussian branch (reference ``utils/export/gs.py``).
+
+    Requires ``prediction.gaussians`` (set when the model runs with the GSDPT
+    head). Without the branch, depth-anchored isotropic gaussians are built
+    from the point map so the export always works (color-only splats).
+    """
+    from videogpa_tpu.models.da3.gaussians import Gaussians, save_gs_ply
+
+    g = getattr(prediction, "gaussians", None)
+    if g is None:
+        pts = _world_points(prediction).reshape(1, -1, 3)
+        cols = _colors(prediction).reshape(1, -1, 3).astype(np.float32) / 255.0
+        n = pts.shape[1]
+        # SH0 coefficient for flat color: (c - 0.5) / C0
+        sh0 = ((cols - 0.5) / 0.28209479177387814)[..., None]
+        depth = prediction.depth.reshape(1, -1)
+        fx = float(np.mean(prediction.intrinsics[:, 0, 0]))
+        iso = np.repeat((depth / fx)[..., None], 3, axis=-1)
+        g = Gaussians(
+            means=pts,
+            harmonics=sh0,
+            opacities=np.full((1, n), 0.8, np.float32),
+            scales=iso.astype(np.float32),
+            rotations=np.tile(np.array([1.0, 0, 0, 0], np.float32), (1, n, 1)),
+        )
+    path = os.path.join(out_dir, "gaussians.ply")
+    os.makedirs(out_dir, exist_ok=True)
+    save_gs_ply(g, path)
+    return path

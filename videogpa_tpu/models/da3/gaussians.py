@@ -186,7 +186,8 @@ def gsdpt_forward(
     layer_outputs = jnp.concatenate([dummy, layer_outputs], axis=3)
 
     features = dpt_head_forward(
-        params["dpt"], layer_outputs, vcfg, (H, W), feature_only=True
+        params["dpt"], layer_outputs, vcfg, (H, W), feature_only=True,
+        inplace_relu=False,  # DA3 fusion: raw-x residual (model/dpt.py:347)
     )  # (B, V, f, H, W)
     h = jnp.concatenate(
         [features.reshape(B * V, -1, H, W), images.reshape(B * V, 3, H, W)], axis=1

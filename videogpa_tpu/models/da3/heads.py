@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -106,14 +108,17 @@ def dualdpt_forward(
         L.conv2d(params["layer_rn"][i], p, padding=1) for i, p in enumerate(pyramid)
     ]
     # main + aux fusion chains (independent)
-    out = _fusion(params["refinenet4"], l4, size=l3.shape[-2:])
-    aux = _fusion(params["refinenet4_aux"], l4, size=l3.shape[-2:])
-    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-2:])
-    aux = _fusion(params["refinenet3_aux"], aux, l3, size=l2.shape[-2:])
-    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-2:])
-    aux = _fusion(params["refinenet2_aux"], aux, l2, size=l1.shape[-2:])
-    out = _fusion(params["refinenet1"], out, l1)
-    aux = _fusion(params["refinenet1_aux"], aux, l1)
+    # DA3 fusion blocks use ReLU(inplace=False) — raw-x residual skip
+    # (reference model/dpt.py:342-352)
+    F = functools.partial(_fusion, inplace_relu=False)
+    out = F(params["refinenet4"], l4, size=l3.shape[-2:])
+    aux = F(params["refinenet4_aux"], l4, size=l3.shape[-2:])
+    out = F(params["refinenet3"], out, l3, size=l2.shape[-2:])
+    aux = F(params["refinenet3_aux"], aux, l3, size=l2.shape[-2:])
+    out = F(params["refinenet2"], out, l2, size=l1.shape[-2:])
+    aux = F(params["refinenet2_aux"], aux, l2, size=l1.shape[-2:])
+    out = F(params["refinenet1"], out, l1)
+    aux = F(params["refinenet1_aux"], aux, l1)
 
     out = L.conv2d(params["output_conv1"], out, padding=1)
     for conv in params["output_conv1_aux"][-1]:

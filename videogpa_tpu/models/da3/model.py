@@ -90,6 +90,7 @@ class DA3Prediction:
     extrinsics: np.ndarray  # (S, 3, 4) world->camera
     intrinsics: np.ndarray  # (S, 3, 3)
     processed_images: np.ndarray  # (S, H, W, 3) uint8-scale
+    gaussians: Optional[object] = None  # models.da3.gaussians.Gaussians
 
 
 def da3_inference(

@@ -39,26 +39,28 @@ def activate_pose(enc: jax.Array, fl_act: str = "relu") -> jax.Array:
     return jnp.concatenate([T, quat, fl], axis=-1)
 
 
+def _activate_values(xyz: jax.Array, activation: str) -> jax.Array:
+    if activation == "inv_log":
+        return inverse_log_transform(xyz)
+    if activation == "exp":
+        return jnp.exp(xyz)
+    if activation == "relu":
+        return jax.nn.relu(xyz)
+    if activation == "norm_exp":
+        d = jnp.maximum(jnp.linalg.norm(xyz, axis=-1, keepdims=True), 1e-8)
+        return xyz / d * jnp.expm1(d)
+    if activation == "linear":
+        return xyz
+    raise ValueError(f"Unknown activation: {activation}")
+
+
 def activate_head(
     out: jax.Array, activation: str, conf_activation: str
 ) -> Tuple[jax.Array, jax.Array]:
     """out: (B, C, H, W) -> ((B, H, W, C-1) points/depth, (B, H, W) conf)."""
     fmap = jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.float32)
     xyz, conf = fmap[..., :-1], fmap[..., -1]
-
-    if activation == "inv_log":
-        pts = inverse_log_transform(xyz)
-    elif activation == "exp":
-        pts = jnp.exp(xyz)
-    elif activation == "relu":
-        pts = jax.nn.relu(xyz)
-    elif activation == "norm_exp":
-        d = jnp.maximum(jnp.linalg.norm(xyz, axis=-1, keepdims=True), 1e-8)
-        pts = xyz / d * jnp.expm1(d)
-    elif activation == "linear":
-        pts = xyz
-    else:
-        raise ValueError(f"Unknown activation: {activation}")
+    pts = _activate_values(xyz, activation)
 
     if conf_activation == "expp1":
         conf_out = 1 + jnp.exp(conf)
@@ -69,6 +71,12 @@ def activate_head(
     else:
         raise ValueError(f"Unknown conf_activation: {conf_activation}")
     return pts, conf_out
+
+
+def _activate_single(out: jax.Array, activation: str) -> jax.Array:
+    """Activate a conf-less head output: (B, C, H, W) -> (B, H, W, C)."""
+    fmap = jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.float32)
+    return _activate_values(fmap, activation)
 
 
 # ---------------------------------------------------------------------------
@@ -141,12 +149,13 @@ def camera_head_forward(
 
 def dpt_head_init(
     key: jax.Array, cfg: VGGTConfig, output_dim: int, dtype=jnp.float32,
-    features: int = None, feature_only: bool = False,
+    features: int = None, feature_only: bool = False, dim_in: int = None,
+    sky_head: bool = False, input_norm: bool = True,
 ) -> dict:
     oc = cfg.dpt_out_channels
     f = features or cfg.dpt_features
-    keys = iter(jax.random.split(key, 32))
-    dim_in = cfg.tokens_dim
+    keys = iter(jax.random.split(key, 34))
+    dim_in = dim_in or cfg.tokens_dim
 
     def rcu():
         return {
@@ -161,7 +170,8 @@ def dpt_head_init(
         return p
 
     return {
-        "norm": L.layernorm_init(dim_in, dtype),
+        # {} = Identity (DA3 mono DPT norm_type="idt", model/dpt.py:88-91)
+        "norm": L.layernorm_init(dim_in, dtype) if input_norm else {},
         "projects": [
             L.conv2d_init(next(keys), dim_in, c, 1, dtype=dtype) for c in oc
         ],
@@ -183,6 +193,15 @@ def dpt_head_init(
             "output_conv2a": L.conv2d_init(next(keys), f // 2, 32, 3, dtype=dtype),
             "output_conv2b": L.conv2d_init(next(keys), 32, output_dim, 1, dtype=dtype),
         }
+    ) | (
+        # DA3 mono DPT sky branch (reference da3 model/dpt.py:146-154):
+        # a second head off the shared post-output_conv1 features
+        {
+            "sky_conv2a": L.conv2d_init(next(keys), f // 2, 32, 3, dtype=dtype),
+            "sky_conv2b": L.conv2d_init(next(keys), 32, 1, 1, dtype=dtype),
+        }
+        if sky_head
+        else {}
     )
 
 
@@ -213,23 +232,25 @@ def _uv_pos_embed(ph: int, pw: int, channels: int, W: int, H: int) -> jax.Array:
     return jnp.transpose(emb, (2, 0, 1)) * 0.1
 
 
-def _rcu(p: dict, x: jax.Array) -> jax.Array:
-    # NOTE: the reference ResidualConvUnit uses ReLU(inplace=True), which
-    # mutates its input before the skip-add — so the residual branch adds
-    # relu(x), NOT x (reference ``vggt/heads/dpt_head.py:368-383``). Preserved
-    # here for bit-parity with converted weights.
+def _rcu(p: dict, x: jax.Array, inplace_relu: bool = True) -> jax.Array:
+    # NOTE: VGGT's ResidualConvUnit uses ReLU(inplace=True), which mutates
+    # its input before the skip-add — so the residual branch adds relu(x),
+    # NOT x (reference ``vggt/heads/dpt_head.py:368-383``). DA3's fusion
+    # blocks construct ReLU(inplace=False) (``model/dpt.py:342-352``), so the
+    # skip adds raw x there — select with ``inplace_relu``.
     xr = jax.nn.relu(x)
     out = L.conv2d(p["conv1"], xr, padding=1)
     out = jax.nn.relu(out)
     out = L.conv2d(p["conv2"], out, padding=1)
-    return out + xr
+    return out + (xr if inplace_relu else x)
 
 
-def _fusion(p: dict, x: jax.Array, residual=None, size=None) -> jax.Array:
+def _fusion(p: dict, x: jax.Array, residual=None, size=None,
+            inplace_relu: bool = True) -> jax.Array:
     out = x
     if residual is not None:
-        out = out + _rcu(p["rcu1"], residual)
-    out = _rcu(p["rcu2"], out)
+        out = out + _rcu(p["rcu1"], residual, inplace_relu)
+    out = _rcu(p["rcu2"], out, inplace_relu)
     if size is None:
         size = (out.shape[-2] * 2, out.shape[-1] * 2)
     out = resize_bilinear(out, size, align_corners=True)
@@ -246,6 +267,8 @@ def dpt_head_forward(
     feature_only: bool = False,
     down_ratio: int = 1,
     use_pos_embed: bool = True,
+    with_conf: bool = True,
+    inplace_relu: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """DPT dense prediction.
 
@@ -264,7 +287,8 @@ def dpt_head_forward(
     for i, layer_idx in enumerate(cfg.dpt_intermediate_layers):
         x = layer_outputs[layer_idx][:, :, cfg.patch_start_idx :]
         x = x.reshape(B * S, ph * pw, C2).astype(jnp.float32)
-        x = L.layernorm(params["norm"], x)
+        if params["norm"]:  # DA3 mono DPT uses norm_type="idt" (Identity)
+            x = L.layernorm(params["norm"], x)
         x = jnp.transpose(x, (0, 2, 1)).reshape(B * S, C2, ph, pw)
         x = L.conv2d(params["projects"][i], x)
         if use_pos_embed:
@@ -280,10 +304,13 @@ def dpt_head_forward(
     l1, l2, l3, l4 = [
         L.conv2d(params["layer_rn"][i], p, padding=1) for i, p in enumerate(pyramid)
     ]
-    out = _fusion(params["refinenet4"], l4, size=l3.shape[-2:])
-    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-2:])
-    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-2:])
-    out = _fusion(params["refinenet1"], out, l1)
+    out = _fusion(params["refinenet4"], l4, size=l3.shape[-2:],
+                  inplace_relu=inplace_relu)
+    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-2:],
+                  inplace_relu=inplace_relu)
+    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-2:],
+                  inplace_relu=inplace_relu)
+    out = _fusion(params["refinenet1"], out, l1, inplace_relu=inplace_relu)
     out = L.conv2d(params["output_conv1"], out, padding=1)
 
     out_hw = (ph * cfg.patch_size // down_ratio, pw * cfg.patch_size // down_ratio)
@@ -294,11 +321,21 @@ def dpt_head_forward(
         ).astype(out.dtype)
     if feature_only:
         return out.reshape(B, S, *out.shape[1:])
-    out = L.conv2d(params["output_conv2a"], out, padding=1)
+    feat = out
+    out = L.conv2d(params["output_conv2a"], feat, padding=1)
     out = jax.nn.relu(out)
     out = L.conv2d(params["output_conv2b"], out)
 
-    preds, conf = activate_head(out, activation, conf_activation)
+    if with_conf:
+        preds, conf = activate_head(out, activation, conf_activation)
+        conf = conf.reshape(B, S, *conf.shape[1:])
+    else:  # mono DPT: all channels are the prediction (da3 model/dpt.py:253-256)
+        preds = _activate_single(out, activation)
+        conf = None
     preds = preds.reshape(B, S, *preds.shape[1:])
-    conf = conf.reshape(B, S, *conf.shape[1:])
-    return preds, conf
+    if "sky_conv2a" not in params:
+        return preds, conf
+    s = jax.nn.relu(L.conv2d(params["sky_conv2a"], feat, padding=1))
+    s = L.conv2d(params["sky_conv2b"], s)
+    sky = jax.nn.relu(s[:, 0])  # sky_activation="relu" (da3 model/dpt.py:58)
+    return preds, conf, sky.reshape(B, S, *sky.shape[1:])

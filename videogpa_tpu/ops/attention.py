@@ -58,7 +58,22 @@ def mha_reference(
 # Pallas forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s, *, scale, n_valid, block_k):
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
+                *, n_valid, block_k, head_dim, aug):
+    """Online-softmax forward, VPU-lean formulation.
+
+    The head is VPU-bound at head_dim 64 (the exp/softmax work per MXU flop
+    is high), so: scores are computed in base-2 with scale*log2(e) folded
+    into q ahead of the kernel (exp2 saves the per-element ln2 multiply);
+    when ``aug`` the caller appended a ones-column to V so the softmax
+    denominator accumulates inside the PV matmul's otherwise-idle output
+    lanes instead of a separate VPU row-sum; and key masking runs only in
+    the final KV block instead of every step.
+    """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -68,35 +83,39 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s, *, scale, n_
         m_s[:] = jnp.full_like(m_s, _NEG_INF)
         l_s[:] = jnp.zeros_like(l_s)
 
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (BK, D)
+    # bf16 operands + f32 accumulation: native MXU mode
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, BK), base-2 scaled scores
 
     if n_valid % block_k != 0:  # skip the mask pass when block-aligned
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < n_valid, s, _NEG_INF)
+        # row-bias formulation: build the (1, BK) mask row cheaply, then one
+        # broadcast add — ~3x fewer VPU ops than iota+cmp+select at (BQ, BK)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + j * block_k
+        bias = jnp.where(col < n_valid, 0.0, _NEG_INF)
+        s = s + bias
 
     m_prev = m_s[:, :1]  # (BQ, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
 
     acc[:] = acc[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if not aug:  # denominator via explicit row-sum (aug: rides in acc)
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
-    l_s[:] = jnp.broadcast_to(l_new, l_s.shape)
 
     @pl.when(j == nk - 1)
     def _():
-        l = l_s[:, :1]
-        o_ref[0] = (acc[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        lse = m_s[:, :1] + jnp.log(jnp.maximum(l, 1e-30))  # (BQ, 1)
+        l = acc[:, head_dim : head_dim + 1] if aug else l_s[:, :1]
+        l = jnp.maximum(l, 1e-30)
+        o_ref[0] = (acc[:, :head_dim] / l).astype(o_ref.dtype)
+        # natural-log lse from the base-2 running stats
+        lse = (m_s[:, :1] + jnp.log2(l)) * _LN2
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -106,8 +125,26 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k):
     scale = D ** -0.5
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
 
+    # fold scale and the base-2 conversion into q (one cheap XLA-fused pass)
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+
+    # ones-column trick: when D leaves output lanes idle (D % 128 != 0),
+    # appending [ones] to V makes the PV matmul produce the softmax
+    # denominator for free in lane D. For lane-full D it would add a whole
+    # extra MXU pass, so fall back to the VPU row-sum.
+    aug = (D % 128) != 0
+    if aug:
+        D_aug = _round_up(D + 1, 128)
+        pad_cols = jnp.zeros((BH, Nk, D_aug - D - 1), v.dtype)
+        v_in = jnp.concatenate(
+            [v, jnp.ones((BH, Nk, 1), v.dtype), pad_cols], axis=-1
+        )
+    else:
+        D_aug = D
+        v_in = v
+
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, n_valid=n_valid, block_k=block_k
+        _fwd_kernel, n_valid=n_valid, block_k=block_k, head_dim=D, aug=aug
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -115,7 +152,7 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k):
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D_aug), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
@@ -126,7 +163,7 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k):
             jax.ShapeDtypeStruct((BH, N, _LSE_LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, D_aug), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
@@ -134,13 +171,29 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(q, k, v)
+    )(q, k, v_in)
     return out, lse
 
 
 # ---------------------------------------------------------------------------
 # Pallas backward
 # ---------------------------------------------------------------------------
+
+def _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, block_k):
+    """Recompute softmax probs for one (q-block, k-block) tile.
+
+    q arrives prescaled by scale*log2(e) and lse in base-2 (see _flash_bwd),
+    so p = exp2(s2 - lse2) with bf16 MXU operands and no per-element scale.
+    """
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if n_valid % block_k != 0:  # row-bias mask, one broadcast add
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + j * block_k
+        s = s + jnp.where(col < n_valid, 0.0, _NEG_INF)
+    return jnp.exp2(s - lse_ref[0][:, :1])
+
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
                *, scale, n_valid, block_k):
@@ -151,29 +204,20 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse_ref[0][:, :1])
-    if n_valid % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        p = jnp.where(col < n_valid, p, 0.0)
-
-    do = do_ref[0].astype(jnp.float32)
+    p = _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, block_k)
     dp = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    ds = p * (dp - delta_ref[0][:, :1])  # grad scale folded into final store
     acc[:] = acc[:] + jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(j == nk - 1)
     def _():
-        dq_ref[0] = acc[:].astype(dq_ref.dtype)
+        dq_ref[0] = (acc[:] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
@@ -187,32 +231,27 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse_ref[0][:, :1])
-    if n_valid % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        p = jnp.where(col < n_valid, p, 0.0)
-
-    do = do_ref[0].astype(jnp.float32)
+    p = _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, block_k)
+    pb = p.astype(do_ref.dtype)
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        pb, do_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1])
+    # q here is the prescaled q2 = scale*log2e*q, so dk = scale*ds^T q =
+    # ds^T q2 / log2e — fold ln2 into the final store
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(i == nq - 1)
     def _():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_acc[:] * _LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -221,6 +260,15 @@ def _flash_bwd(res, g, block_q, block_k):
     BH, N, D = q.shape
     Nk = k.shape[1]
     scale = D ** -0.5
+    # the bwd kernels hold two (bq, bk) f32 tiles (p and ds) on the stack;
+    # 1024x2048 exceeds the 16 MB scoped-vmem limit, so clamp independently
+    # of the fwd blocks (padded N stays a multiple of any smaller pow-2)
+    block_q = min(block_q, 1024)
+    block_k = min(block_k, 1024)
+    # base-2 convention (see _fwd_kernel): scores from prescaled q, lse in
+    # log2 units, per-element scale multiplies folded into the final stores
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    lse = lse * _LOG2E
     delta = jnp.sum(
         out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1, keepdims=True
     )  # (BH, N, 1)
@@ -314,7 +362,7 @@ def attention(
     v: jax.Array,
     impl: str = "auto",
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: int = 2048,
 ) -> jax.Array:
     """Bidirectional multi-head attention.
 
