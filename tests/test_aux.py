@@ -268,3 +268,29 @@ class TestInputProcessor:
         assert batch.shape[0] == 3 and batch.shape[1] == 3
         assert batch.shape[2] % 14 == 0 and batch.shape[3] % 14 == 0
         assert Ks == [None, None, None]
+
+
+class TestGSVideoExport:
+    def test_gs_video_fallback(self, tmp_path):
+        import numpy as np
+
+        from videogpa_tpu.models.da3.export import export
+        from videogpa_tpu.models.da3.model import DA3Prediction
+
+        S, H, W = 2, 32, 32
+        rng = np.random.default_rng(0)
+        extr = np.tile(np.eye(4, dtype=np.float32)[:3], (S, 1, 1))
+        extr[1, 0, 3] = 0.05
+        pred = DA3Prediction(
+            depth=np.full((S, H, W), 2.0, np.float32),
+            conf=np.ones((S, H, W), np.float32),
+            extrinsics=extr,
+            intrinsics=np.tile(np.array(
+                [[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32),
+                (S, 1, 1)),
+            processed_images=rng.uniform(0, 255, (S, H, W, 3)).astype(np.float32),
+        )
+        path = export(pred, "gs_video", str(tmp_path), trj_mode="original",
+                      max_per_tile=128)
+        import os
+        assert os.path.exists(path) and os.path.getsize(path) > 0

@@ -365,3 +365,116 @@ class TestMonoPreset:
         )
         assert depth.shape == (2, 28, 28) and sky.shape == (2, 28, 28)
         assert np.isfinite(depth).all()
+
+
+class TestGSRenderer:
+    """Tile-based TPU splatting renderer (reference gs_renderer.py:44)."""
+
+    def _single_gaussian(self, pos, color=(1.0, 0.0, 0.0), scale=0.05, op=0.9):
+        from videogpa_tpu.models.da3.gaussians import Gaussians
+        from videogpa_tpu.models.da3.gs_render import _SH_C0
+
+        sh0 = (np.array(color, np.float32) - 0.5) / _SH_C0
+        return Gaussians(
+            means=np.array([[pos]], np.float32),
+            harmonics=sh0.reshape(1, 1, 3, 1),
+            opacities=np.array([[op]], np.float32),
+            scales=np.full((1, 1, 3), scale, np.float32),
+            rotations=np.array([[[1.0, 0, 0, 0]]], np.float32),
+        )
+
+    def _cam(self, V=1, W=64, H=48):
+        extr = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+        intr = np.tile(
+            np.array([[60.0 / W, 0, 0.5], [0, 60.0 / H, 0.5], [0, 0, 1]],
+                     np.float32), (V, 1, 1))
+        return extr, intr
+
+    def test_center_gaussian_renders_at_projection(self):
+        from videogpa_tpu.models.da3.gs_render import render_3dgs
+
+        W, H = 64, 48
+        g = self._single_gaussian([0.0, 0.0, 2.0])
+        extr, intr = self._cam(W=W, H=H)
+        color, depth = render_3dgs(extr, intr, (H, W), g)
+        color, depth = np.asarray(color), np.asarray(depth)
+        assert color.shape == (1, 3, H, W) and depth.shape == (1, H, W)
+        cy, cx = H // 2, W // 2
+        # red channel peaks at the projected center, ~opacity * red
+        assert color[0, 0, cy, cx] > 0.5
+        assert color[0, 0, cy, cx] > color[0, 0, 0, 0] + 0.4
+        assert color[0, 1, cy, cx] < 0.1  # green stays near bg
+        # accumulated depth near z=2 at the center
+        assert abs(depth[0, cy, cx] - 2.0 * 0.9) < 0.4
+
+    def test_occlusion_order(self):
+        """A near gaussian must occlude a far one regardless of array order."""
+        from videogpa_tpu.models.da3.gaussians import Gaussians
+        from videogpa_tpu.models.da3.gs_render import _SH_C0, render_3dgs
+
+        W, H = 64, 48
+
+        def make(order):
+            reds = {"near": (1.0, 0.0, 0.0), "far": (0.0, 1.0, 0.0)}
+            zs = {"near": 1.5, "far": 3.0}
+            sh = np.stack([
+                (np.array(reds[k], np.float32) - 0.5) / _SH_C0 for k in order
+            ]).reshape(1, 2, 3, 1)
+            means = np.array([[[0, 0, zs[k]] for k in order]], np.float32)
+            return Gaussians(
+                means=means, harmonics=sh,
+                opacities=np.full((1, 2), 0.99, np.float32),
+                scales=np.full((1, 2, 3), 0.08, np.float32),
+                rotations=np.tile(np.array([1.0, 0, 0, 0], np.float32), (1, 2, 1)),
+            )
+
+        extr, intr = self._cam(W=W, H=H)
+        cy, cx = H // 2, W // 2
+        for order in (["near", "far"], ["far", "near"]):
+            color, _ = render_3dgs(extr, intr, (H, W), make(order))
+            c = np.asarray(color)[0, :, cy, cx]
+            assert c[0] > 0.8 and c[1] < 0.15, (order, c)  # red wins
+
+    def test_trajectory_modes(self):
+        from videogpa_tpu.models.da3.gs_render import run_renderer_chunked
+
+        g = self._single_gaussian([0.0, 0.0, 2.0])
+        W, H = 32, 32
+        V = 4
+        extr = np.tile(np.eye(4, dtype=np.float32)[:3], (V, 1, 1))
+        for i in range(V):
+            extr[i, 0, 3] = 0.02 * i
+        intr = np.tile(np.array(
+            [[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32),
+            (V, 1, 1))
+        for mode, n_expect in [("original", V), ("smooth", V),
+                               ("wander", 60), ("dolly_zoom", 60)]:
+            color, depth = run_renderer_chunked(
+                g, extr, intr, (H, W), trj_mode=mode, chunk_size=30)
+            assert color.shape == (n_expect, 3, H, W), mode
+            assert np.isfinite(color).all()
+        color, _ = run_renderer_chunked(
+            g, extr, intr, (H, W), trj_mode="interpolate", chunk_size=30)
+        assert color.shape[0] == (V - 1) * 8 - (V - 2)
+
+    def test_stabilization_and_interp(self):
+        from videogpa_tpu.models.da3.gs_render import (
+            interpolate_extrinsics, render_stabilization_path,
+        )
+
+        rng = np.random.default_rng(0)
+        c2ws = np.tile(np.eye(4, dtype=np.float32), (10, 1, 1))
+        c2ws[:, :3, 3] = np.cumsum(rng.normal(0, 0.1, (10, 3)), 0)
+        sm = render_stabilization_path(c2ws, k_size=5)
+        assert sm.shape == (10, 4, 4)
+        # smoothing reduces jerk (second difference magnitude)
+        jerk = lambda p: np.abs(np.diff(p, 2, axis=0)).sum()
+        assert jerk(sm[:, :3, 3]) < jerk(c2ws[:, :3, 3])
+        # rotations stay orthonormal
+        RtR = np.einsum("vij,vik->vjk", sm[:, :3, :3], sm[:, :3, :3])
+        np.testing.assert_allclose(RtR, np.tile(np.eye(3), (10, 1, 1)), atol=1e-5)
+
+        t = np.linspace(0, 1, 5, dtype=np.float32)
+        interp = interpolate_extrinsics(c2ws[0], c2ws[1], t)
+        np.testing.assert_allclose(interp[0], c2ws[0], atol=1e-5)
+        np.testing.assert_allclose(interp[-1], c2ws[1], atol=1e-5)

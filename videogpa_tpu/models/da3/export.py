@@ -186,34 +186,67 @@ def export_depth_vis(prediction, out_dir: str, **_) -> str:
     return d
 
 
+def _fallback_gaussians(prediction):
+    """Depth-anchored isotropic gaussians from the point map (no GS branch)."""
+    from videogpa_tpu.models.da3.gaussians import Gaussians
+
+    pts = _world_points(prediction).reshape(1, -1, 3)
+    cols = _colors(prediction).reshape(1, -1, 3).astype(np.float32) / 255.0
+    n = pts.shape[1]
+    # SH0 coefficient for flat color: (c - 0.5) / C0
+    sh0 = ((cols - 0.5) / 0.28209479177387814)[..., None]
+    depth = prediction.depth.reshape(1, -1)
+    fx = float(np.mean(prediction.intrinsics[:, 0, 0]))
+    iso = np.repeat((depth / fx)[..., None], 3, axis=-1)
+    return Gaussians(
+        means=pts,
+        harmonics=sh0,
+        opacities=np.full((1, n), 0.8, np.float32),
+        scales=iso.astype(np.float32),
+        rotations=np.tile(np.array([1.0, 0, 0, 0], np.float32), (1, n, 1)),
+    )
+
+
 @register("gs_ply")
 def export_gs_ply(prediction, out_dir: str, **_) -> str:
     """3DGS PLY from the gaussian branch (reference ``utils/export/gs.py``).
 
     Requires ``prediction.gaussians`` (set when the model runs with the GSDPT
-    head). Without the branch, depth-anchored isotropic gaussians are built
-    from the point map so the export always works (color-only splats).
+    head). Without the branch, depth-anchored gaussians are built from the
+    point map so the export always works (color-only splats).
     """
-    from videogpa_tpu.models.da3.gaussians import Gaussians, save_gs_ply
+    from videogpa_tpu.models.da3.gaussians import save_gs_ply
 
     g = getattr(prediction, "gaussians", None)
     if g is None:
-        pts = _world_points(prediction).reshape(1, -1, 3)
-        cols = _colors(prediction).reshape(1, -1, 3).astype(np.float32) / 255.0
-        n = pts.shape[1]
-        # SH0 coefficient for flat color: (c - 0.5) / C0
-        sh0 = ((cols - 0.5) / 0.28209479177387814)[..., None]
-        depth = prediction.depth.reshape(1, -1)
-        fx = float(np.mean(prediction.intrinsics[:, 0, 0]))
-        iso = np.repeat((depth / fx)[..., None], 3, axis=-1)
-        g = Gaussians(
-            means=pts,
-            harmonics=sh0,
-            opacities=np.full((1, n), 0.8, np.float32),
-            scales=iso.astype(np.float32),
-            rotations=np.tile(np.array([1.0, 0, 0, 0], np.float32), (1, n, 1)),
-        )
+        g = _fallback_gaussians(prediction)
     path = os.path.join(out_dir, "gaussians.ply")
     os.makedirs(out_dir, exist_ok=True)
     save_gs_ply(g, path)
+    return path
+
+
+@register("gs_video")
+def export_gs_video(prediction, out_dir: str, trj_mode: str = "smooth",
+                    fps: int = 24, max_per_tile: int = 256, **_) -> str:
+    """Render the gaussians along a derived camera trajectory to mp4.
+
+    Reference ``utils/export/gs_video`` path (gsplat render + ffmpeg); here
+    the TPU splatting renderer (``gs_render.py``) + OpenCV encoder.
+    """
+    from videogpa_tpu.data.video_io import write_video
+    from videogpa_tpu.models.da3.gs_render import run_renderer_chunked
+
+    g = getattr(prediction, "gaussians", None)
+    if g is None:
+        g = _fallback_gaussians(prediction)
+    H, W = prediction.depth.shape[-2:]
+    color, _ = run_renderer_chunked(
+        g, prediction.extrinsics, prediction.intrinsics, (H, W),
+        trj_mode=trj_mode, max_per_tile=max_per_tile,
+    )
+    frames = (np.clip(color, 0, 1).transpose(0, 2, 3, 1) * 255).astype(np.uint8)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"gs_{trj_mode}.mp4")
+    write_video(path, frames, fps=fps)
     return path
