@@ -478,3 +478,70 @@ class TestGSRenderer:
         interp = interpolate_extrinsics(c2ws[0], c2ws[1], t)
         np.testing.assert_allclose(interp[0], c2ws[0], atol=1e-5)
         np.testing.assert_allclose(interp[-1], c2ws[1], atol=1e-5)
+
+
+class TestNestedNet:
+    """Nested anyview+metric alignment (reference da3.py:301-435)."""
+
+    def test_least_squares_and_metric_scaling(self):
+        from videogpa_tpu.models.da3.nested import (
+            apply_metric_scaling, least_squares_scale_scalar,
+        )
+
+        b = np.linspace(1, 5, 50)
+        a = 2.5 * b
+        np.testing.assert_allclose(least_squares_scale_scalar(a, b), 2.5)
+
+        depth = np.ones((2, 4, 4), np.float32)
+        K = np.tile(np.diag([600.0, 600.0, 1]), (2, 1, 1))
+        scaled = apply_metric_scaling(depth, K)
+        np.testing.assert_allclose(scaled, 2.0)  # 600 / 300
+
+    def test_align_to_metric(self):
+        from videogpa_tpu.models.da3.model import DA3Prediction
+        from videogpa_tpu.models.da3.nested import align_to_metric
+
+        S, H, W = 2, 16, 16
+        rng = np.random.default_rng(0)
+        rel = rng.uniform(1, 2, (S, H, W)).astype(np.float32)
+        metric = 3.0 * rel  # ground truth scale 3
+        sky = np.zeros((S, H, W), np.float32)
+        sky[:, :4] = 1.0  # top rows are sky
+        extr = np.tile(np.eye(4, dtype=np.float32)[:3], (S, 1, 1))
+        extr[:, :3, 3] = [[0.1, 0, 0], [0.2, 0, 0]]
+        pred = DA3Prediction(
+            depth=rel, conf=np.ones((S, H, W), np.float32), extrinsics=extr,
+            intrinsics=np.tile(np.eye(3, dtype=np.float32), (S, 1, 1)),
+            processed_images=np.zeros((S, H, W, 3), np.float32),
+        )
+        out = align_to_metric(pred, metric, sky)
+        assert out.is_metric == 1
+        np.testing.assert_allclose(out.scale_factor, 3.0, rtol=1e-5)
+        # non-sky depth scaled by 3, translations too
+        non_sky = sky < 0.3
+        np.testing.assert_allclose(out.depth[non_sky], 3 * rel[non_sky], rtol=1e-5)
+        np.testing.assert_allclose(out.extrinsics[:, 0, 3], [0.3, 0.6], rtol=1e-5)
+        # sky pixels pushed to q99 of non-sky depth, conf -> 1
+        q99 = np.quantile(out.depth[non_sky], 0.99)
+        np.testing.assert_allclose(out.depth[~non_sky], q99, rtol=1e-3)
+        np.testing.assert_allclose(out.conf[~non_sky], 1.0)
+
+    def test_nested_inference_smoke(self):
+        from videogpa_tpu.models.da3.mono import mono_init
+        from videogpa_tpu.models.da3.nested import nested_inference
+
+        av_cfg = DA3Config.tiny()
+        av = da3_init(jax.random.PRNGKey(0), av_cfg)
+        m_cfg = DA3Config(
+            img_size=28, embed_dim=32, depth=4, num_heads=2, alt_start=-1,
+            out_layers=(0, 1, 2, 3), dpt_features=16,
+            dpt_out_channels=(16, 16, 16, 16),
+        )
+        m = mono_init(jax.random.PRNGKey(1), m_cfg)
+        frames = np.random.default_rng(0).integers(
+            0, 255, (2, 28, 28, 3), dtype=np.uint8)
+        out = nested_inference(av, av_cfg, m, m_cfg, frames,
+                               attn_impl="xla", compute_dtype=jnp.float32)
+        assert out.is_metric == 1
+        assert out.depth.shape == (2, 28, 28)
+        assert np.isfinite(out.depth).all() and out.scale_factor > 0
