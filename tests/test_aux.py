@@ -158,6 +158,9 @@ class TestServiceBackend:
             status = json.loads(urllib.request.urlopen(f"{base}/status").read())
             assert status["status"] == "ok"
 
+            index = urllib.request.urlopen(f"{base}/").read().decode()
+            assert "Depth Anything 3" in index and "/infer" in index
+
             img_path = str(tmp_path / "img.png")
             cv2.imwrite(img_path, np.zeros((56, 56, 3), np.uint8))
             req = urllib.request.Request(

@@ -128,3 +128,31 @@ class TestTrackHead:
         )
         assert coords[-1].shape == (1, 2, 4, 2)
         assert np.isfinite(np.asarray(coords[-1])).all()
+
+
+class TestVisualTrack:
+    def test_visualize_tracks_writes_frames_and_grid(self, tmp_path):
+        import os
+
+        import numpy as np
+
+        from videogpa_tpu.models.vggt.visual_track import (
+            get_track_colors_by_position, visualize_tracks_on_images,
+        )
+
+        S, N, H, W = 3, 5, 32, 48
+        rng = np.random.default_rng(0)
+        images = rng.uniform(0, 1, (S, 3, H, W)).astype(np.float32)
+        tracks = np.stack([
+            np.stack([rng.uniform(0, W, N), rng.uniform(0, H, N)], -1)
+            for _ in range(S)
+        ])
+        mask = np.ones((S, N), bool)
+        mask[0, 0] = False  # first track invisible in frame 0
+        out = visualize_tracks_on_images(
+            images, tracks, mask, out_dir=str(tmp_path / "viz"))
+        for s in range(S):
+            assert os.path.exists(os.path.join(out, f"frame_{s:04d}.png"))
+        assert os.path.exists(os.path.join(out, "tracks_grid.png"))
+        colors = get_track_colors_by_position(tracks, mask, W, H)
+        assert colors.shape == (N, 3) and colors.dtype == np.uint8

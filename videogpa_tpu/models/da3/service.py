@@ -153,6 +153,45 @@ class ModelBackend:
         return out
 
 
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>DA3 backend</title>
+<style>body{font-family:sans-serif;max-width:48em;margin:2em auto}
+pre{background:#f4f4f4;padding:1em;overflow:auto}</style></head>
+<body>
+<h1>Depth Anything 3 — TPU backend</h1>
+<p>Pick images, submit for inference, poll the task below.</p>
+<input type="file" id="files" multiple accept="image/*">
+<select id="fmt"><option>npz</option><option>mini_npz</option><option>ply</option>
+<option>glb</option><option>depth_vis</option><option>gs_ply</option></select>
+<button onclick="run()">Infer</button>
+<h3>Status</h3><pre id="status">-</pre>
+<h3>Tasks</h3><pre id="tasks">-</pre>
+<script>
+async function refresh(){
+  document.getElementById('status').textContent =
+    JSON.stringify(await (await fetch('/status')).json(), null, 2);
+  document.getElementById('tasks').textContent =
+    JSON.stringify(await (await fetch('/tasks')).json(), null, 2);
+}
+async function run(){
+  const files = document.getElementById('files').files;
+  const imgs = [];
+  for (const f of files){
+    imgs.push(await new Promise(r => {
+      const rd = new FileReader();
+      rd.onload = () => r(rd.result.split(',')[1]);
+      rd.readAsDataURL(f);
+    }));
+  }
+  await fetch('/infer', {method:'POST', body: JSON.stringify(
+    {images: imgs, export: document.getElementById('fmt').value})});
+  refresh();
+}
+refresh(); setInterval(refresh, 3000);
+</script></body></html>
+"""
+
+
 def make_handler(backend: ModelBackend):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -164,6 +203,17 @@ def make_handler(backend: ModelBackend):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                # minimal browser UI (the reference ships a gradio app/;
+                # gradio is unavailable here, so a stdlib page covers the
+                # upload -> infer -> inspect loop against the same endpoints)
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if self.path == "/status":
                 return self._send(200, backend.status())
             if self.path == "/memory":
