@@ -179,3 +179,58 @@ class TestRingAttention:
         got = ring_attention_sharded(q, q, q, mesh, impl="xla")
         want = mha_reference(q, q, q)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestRingRaggedAndDiT:
+    def test_ring_ragged_matches_reference(self):
+        """Padded (non-divisible) N through the rotating-mask path."""
+        from videogpa_tpu.ops.attention import mha_reference
+        from videogpa_tpu.ops.ring_attention import ring_attention_sharded
+        from videogpa_tpu.parallel.mesh import MeshAxes, make_mesh
+
+        mesh = make_mesh(MeshAxes(data=2, seq=4))
+        N = 70  # not divisible by 4 -> padded to 72 with mask
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, N, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, N, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, N, 16))
+        out = ring_attention_sharded(q, k, v, mesh, impl="xla")
+        ref = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_dit_forward_with_ring_impl(self):
+        """attn_impl='ring' flows through the DiT under a seq mesh."""
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_init
+        from videogpa_tpu.models.cogvideox.dit import dit_forward
+        from videogpa_tpu.parallel.mesh import MeshAxes, make_mesh
+
+        cfg = CogVideoXConfig.tiny()
+        params = dit_init(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(MeshAxes(data=2, seq=4))
+        B = 1
+        lat = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (B, cfg.sample_frames, cfg.in_channels,
+             cfg.sample_height, cfg.sample_width))
+        txt = jax.random.normal(
+            jax.random.PRNGKey(2), (B, cfg.max_text_seq_length, cfg.text_embed_dim))
+        t = jnp.array([500])
+        with jax.set_mesh(mesh):
+            out_ring = dit_forward(params, lat, txt, t, cfg, attn_impl="ring",
+                                   compute_dtype=jnp.float32)
+        out_xla = dit_forward(params, lat, txt, t, cfg, attn_impl="xla",
+                              compute_dtype=jnp.float32)
+        assert out_ring.shape == out_xla.shape
+        # NOTE: tolerance is bounded by the CPU backend's jit-vs-eager
+        # transcendental fusion noise, not by ring attention — jit vs eager
+        # of the *identical* xla block differs by ~4e-2 here, while ring vs
+        # reference at the op level is exact to 2e-5 (test above).
+        np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_xla),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_ring_impl_without_mesh_raises(self):
+        from videogpa_tpu.ops.attention import attention
+
+        q = jnp.zeros((1, 2, 64, 16))
+        with np.testing.assert_raises(ValueError):
+            attention(q, q, q, impl="ring")

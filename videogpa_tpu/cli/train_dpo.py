@@ -15,6 +15,18 @@ from typing import Optional
 import numpy as np
 
 
+def _peak_memory_gb() -> float:
+    """Peak device HBM use (reference logs stats/max_memory_gb via torch.cuda,
+    …I2V…/03_train.py:166-177). Returns 0.0 on backends without stats."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return float(stats.get("peak_bytes_in_use", 0)) / 1e9
+    except Exception:
+        return 0.0
+
+
 def train_dpo(config: dict, cog_cfg, i2v: bool = False):
     import jax
     import jax.numpy as jnp
@@ -91,6 +103,7 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
             if step % log_every == 0:
                 m = {f"train/{k}": float(v) for k, v in metrics.items()}
                 m["stats/samples_per_sec"] = logger.throughput(step, batch_size)
+                m["stats/max_memory_gb"] = _peak_memory_gb()
                 logger.log(step, m)
                 print(f"step {step}: loss={m['train/loss']:.4f} "
                       f"margin={m['train/reward_margin']:.4f}")

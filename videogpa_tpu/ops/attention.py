@@ -378,6 +378,18 @@ def attention(
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return mha_reference(q, k, v)
+    if impl == "ring":
+        # sequence parallelism: shard N over the ambient mesh's "seq" axis
+        # (set via jax.set_mesh); K/V rotate on the ICI (ring_attention.py)
+        from videogpa_tpu.ops.ring_attention import ring_attention_sharded
+
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh.empty or "seq" not in mesh.shape:
+            raise ValueError(
+                "attention(impl='ring') needs an active mesh with a 'seq' "
+                "axis — wrap the call in jax.set_mesh(make_mesh(...))"
+            )
+        return ring_attention_sharded(q, k, v, mesh, seq_axis="seq")
 
     B, H, Nq, D = q.shape
     Nk = k.shape[2]

@@ -24,13 +24,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from videogpa_tpu.ops.attention import _flash_fwd, _round_up
 
 
-def _attn_with_lse_xla(q, k, v) -> Tuple[jax.Array, jax.Array]:
-    """(B, H, n, d) x (B, H, m, d) -> (o, lse). f32 softmax."""
+def _attn_with_lse_xla(q, k, v, kv_mask=None) -> Tuple[jax.Array, jax.Array]:
+    """(B, H, n, d) x (B, H, m, d) -> (o, lse). f32 softmax.
+
+    kv_mask: optional (m,) bool — False keys are excluded from the softmax
+    (ragged global lengths after padding to the ring shard size).
+    """
     scale = q.shape[-1] ** -0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[None, None, None, :], s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.maximum(m, -1e30)  # fully-masked shard: avoid inf - inf
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     o = jnp.einsum("bhqk,bhkd->bhqd", (p / l).astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(q.dtype)
     lse = (m + jnp.log(l))[..., 0]
@@ -70,19 +77,26 @@ def _merge(o, lse, o_i, lse_i):
 
 
 def ring_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str, impl: str = "auto"
+    q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
+    impl: str = "auto", kv_mask: jax.Array = None,
 ) -> jax.Array:
     """Sequence-sharded attention body (call inside shard_map).
 
     Args:
         q, k, v: per-device shards (B, H, N/P, D).
         axis_name: mesh axis carrying the sequence shards.
+        kv_mask: optional (N/P,) bool key-validity shard — rotates around the
+            ring with K/V so ragged (padded) sequences stay exact. Masked
+            paths use the XLA with-lse body (the flash kernel's key mask is
+            a trace-time constant, incompatible with a rotating mask).
 
     Returns:
         per-device output shard (B, H, N/P, D).
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if kv_mask is not None:
+        impl = "xla"
     attn = _attn_with_lse_flash if impl == "flash" else _attn_with_lse_xla
 
     n_dev = jax.lax.axis_size(axis_name)
@@ -92,14 +106,20 @@ def ring_attention(
     lse = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
 
     def body(i, carry):
-        o, lse, k_cur, v_cur = carry
-        o_i, lse_i = attn(q, k_cur, v_cur)
+        o, lse, k_cur, v_cur, m_cur = carry
+        if kv_mask is None:
+            o_i, lse_i = attn(q, k_cur, v_cur)
+        else:
+            o_i, lse_i = attn(q, k_cur, v_cur, kv_mask=m_cur)
         o, lse = _merge(o, lse, o_i, lse_i)
         k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
         v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-        return o, lse, k_cur, v_cur
+        if kv_mask is not None:
+            m_cur = jax.lax.ppermute(m_cur, axis_name, perm)
+        return o, lse, k_cur, v_cur, m_cur
 
-    o, lse, _, _ = jax.lax.fori_loop(0, n_dev, body, (o, lse, k, v))
+    m0 = kv_mask if kv_mask is not None else jnp.zeros((0,), bool)
+    o, lse, _, _, _ = jax.lax.fori_loop(0, n_dev, body, (o, lse, k, v, m0))
     return o
 
 
@@ -111,15 +131,35 @@ def ring_attention_sharded(
     seq_axis: str = "seq",
     impl: str = "auto",
 ) -> jax.Array:
-    """shard_map wrapper: (B, H, N, D) global arrays, N sharded over seq_axis."""
+    """shard_map wrapper: (B, H, N, D) global arrays, N sharded over seq_axis.
+
+    N is padded to a multiple of the seq-axis size automatically; padded
+    keys are excluded via a rotating validity mask (exact softmax).
+    """
     from jax.experimental.shard_map import shard_map
 
+    n_seq = mesh.shape[seq_axis]
+    B, H, N, D = q.shape
+    N_pad = _round_up(N, n_seq)
     spec = P(None, None, seq_axis, None)
+    if N_pad == N:
+        fn = shard_map(
+            functools.partial(ring_attention, axis_name=seq_axis, impl=impl),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_rep=False,
+        )
+        return fn(q, k, v)
+
+    pad = ((0, 0), (0, 0), (0, N_pad - N), (0, 0))
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    mask = jnp.arange(N_pad) < N
     fn = shard_map(
-        functools.partial(ring_attention, axis_name=seq_axis, impl=impl),
+        lambda q, k, v, m: ring_attention(
+            q, k, v, axis_name=seq_axis, impl=impl, kv_mask=m
+        ),
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P(seq_axis)),
         out_specs=spec,
         check_rep=False,
     )
-    return fn(q, k, v)
+    return fn(qp, kp, vp, mask)[:, :, :N]
