@@ -87,3 +87,54 @@ class TestVideoProcessor:
     def test_da3_backbone_selectable(self):
         vp = VideoProcessor({}, backbone="da3")
         assert vp.backbone == "da3"
+
+
+class TestBatchedScoring:
+    def test_process_paths_matches_single(self, video_path, tmp_path):
+        """Batched K-clip graph produces the same scores as process()."""
+        import shutil
+
+        p2 = str(tmp_path / "clip2.mp4")
+        write_video(p2, _textured_video(seed=3), fps=8)
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        vp = VideoProcessor(
+            {"Consistency_Score": ConsistencyScore(lpips_params=None)},
+            params=params, config=cfg,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        batched = vp.process_paths([video_path, p2], [0], num_frames=4)
+        singles = [vp.process(p, [0], num_frames=4) for p in (video_path, p2)]
+        for b, s in zip(batched, singles):
+            np.testing.assert_allclose(
+                b[0]["Consistency_Score"], s[0]["Consistency_Score"],
+                rtol=1e-4, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                b[0]["motion_norm"], s[0]["motion_norm"], rtol=1e-4, atol=1e-6)
+
+    def test_score_groups_batched(self, video_path, tmp_path):
+        import json
+
+        from videogpa_tpu.cli.score import score_groups
+
+        p2 = str(tmp_path / "clip2.mp4")
+        write_video(p2, _textured_video(seed=3), fps=8)
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        vp = VideoProcessor(
+            {"Consistency_Score": ConsistencyScore(lpips_params=None)},
+            params=params, config=cfg,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        data = {"groups": [{"group_id": "g", "videos": [
+            {"video_path": video_path}, {"video_path": p2},
+        ]}]}
+        out_json = str(tmp_path / "scored.json")
+        stats = score_groups(vp, data, out_json, num_frames=4, batch_size=2)
+        assert stats == {"scored": 2, "failed": 0, "resumed": 0}
+        for v in data["groups"][0]["videos"]:
+            assert np.isfinite(v["consistency_score"])
+        # resume with batching: nothing re-scored
+        stats2 = score_groups(vp, data, out_json, num_frames=4, batch_size=2)
+        assert stats2["resumed"] == 2 and stats2["scored"] == 0

@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--backbone", default=os.environ.get("VIDEO_PROCESSOR_BACKBONE", "vggt"))
     parser.add_argument("--model_name", default=None)
     parser.add_argument("--num_frames", type=int, default=NUM_FRAMES)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="clips per device program (TPU batched scoring)")
     args = parser.parse_args()
 
     from videogpa_tpu.cli.score import score_groups
@@ -53,6 +55,7 @@ def main():
     stats = score_groups(
         vp, data, args.output_json, base_dir=args.base_dir,
         num_frames=args.num_frames, thresholds=THRESHOLDS,
+        batch_size=args.batch_size,
     )
     hours = (time.time() - t0) / 3600
     print(f"Done in {hours:.2f} h ({stats}) -> {args.output_json}")

@@ -36,11 +36,59 @@ def score_groups(
     num_frames: int = 10,
     thresholds=(0,),
     resume: bool = True,
+    batch_size: int = 1,
 ) -> dict:
-    """Score every candidate video in data['groups'] in place; returns stats."""
+    """Score every candidate video in data['groups'] in place; returns stats.
+
+    With batch_size > 1, pending clips are scored through
+    ``processor.process_paths`` — one device program per fixed-size chunk
+    (a TPU upgrade over the reference's one-clip-at-a-time loop).
+    """
     scored = load_resume_map(output_json) if resume else {}
     n_done = n_fail = n_skip = 0
     groups = data["groups"]
+    th0 = thresholds[0]
+
+    def apply_result(video, res):
+        video["consistency_score"] = float(res[th0]["Consistency_Score"])
+        video["motion_norm"] = float(res[th0]["motion_norm"])
+
+    if batch_size > 1:
+        pending = []  # (video dict, full path)
+        for group in groups:
+            for video in group.get("videos", []):
+                vp_path = video["video_path"]
+                if vp_path in scored:
+                    video["consistency_score"], video["motion_norm"] = scored[vp_path]
+                    n_skip += 1
+                else:
+                    full = os.path.join(base_dir, vp_path) if base_dir else vp_path
+                    pending.append((video, full))
+        for c0 in range(0, len(pending), batch_size):
+            chunk = pending[c0 : c0 + batch_size]
+            try:
+                res_list = processor.process_paths(
+                    [p for _, p in chunk], list(thresholds), num_frames
+                )
+                for (video, _), res in zip(chunk, res_list):
+                    apply_result(video, res)
+                n_done += len(chunk)
+            except Exception as e:  # fall back to per-item isolation
+                print(f"  batch failed ({e}); retrying per clip")
+                for video, full in chunk:
+                    try:
+                        res = processor.process(
+                            full, thresholds=list(thresholds),
+                            num_frames=num_frames,
+                        )
+                        apply_result(video, res)
+                        n_done += 1
+                    except Exception as e2:
+                        print(f"  failed {video['video_path']}: {e2}")
+                        n_fail += 1
+            safe_save_json(data, output_json)
+        return {"scored": n_done, "failed": n_fail, "resumed": n_skip}
+
     for gi, group in enumerate(groups):
         for video in group.get("videos", []):
             vp_path = video["video_path"]
@@ -53,9 +101,7 @@ def score_groups(
                 res = processor.process(
                     full, thresholds=list(thresholds), num_frames=num_frames
                 )
-                th = thresholds[0]
-                video["consistency_score"] = float(res[th]["Consistency_Score"])
-                video["motion_norm"] = float(res[th]["motion_norm"])
+                apply_result(video, res)
                 n_done += 1
             except Exception as e:  # per-item isolation (reference behavior)
                 print(f"  failed {vp_path}: {e}")
