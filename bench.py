@@ -81,7 +81,18 @@ def bench_reward():
     t0 = time.perf_counter()
     vp.process_frames(frames, thresholds=[0])
     dt = time.perf_counter() - t0
-    return 60.0 / dt
+
+    # batched scoring throughput (K clips per device program)
+    K = int(os.environ.get("VIDEOGPA_BENCH_REWARD_BATCH", "4"))
+    images = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (K, 10, 3, 518, 518)).astype(np.float32) * 0.2 + 0.5)
+    runb = vp._device_fn_batched(0.0, K)
+    jax.block_until_ready(runb(vp.params, images))  # compile
+    t0 = time.perf_counter()
+    out = runb(vp.params, images)
+    s = float(np.asarray(jnp.sum(out["reprojected"])))
+    dtb = time.perf_counter() - t0
+    return 60.0 / dt, K * 60.0 / dtb
 
 
 def main():
@@ -94,7 +105,9 @@ def main():
         "step_ms": round(dt * 1000, 1),
     }
     if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
-        result["reward_clips_per_min"] = round(bench_reward(), 2)
+        single, batched = bench_reward()
+        result["reward_clips_per_min"] = round(single, 2)
+        result["reward_clips_per_min_batched"] = round(batched, 2)
     print(json.dumps(result))
 
 

@@ -205,3 +205,61 @@ def _make_tiny_generator(cfg, t5_cfg, tokenizer):
             return video_to_uint8(video)[0]
 
     return TinyGenerator
+
+
+class TestReplicateScorerE2E:
+    def test_full_scoring_run(self, tmp_path, monkeypatch):
+        """replicate.sh step 2 mirror on tiny configs: scan -> score -> CSV."""
+        import csv
+        import importlib
+
+        import jax.numpy as jnp
+
+        from videogpa_tpu.data.video_io import write_video
+        from videogpa_tpu.models.vggt import VGGTConfig, vggt_init
+
+        rng = np.random.default_rng(0)
+        base = tmp_path / "gen"
+        import cv2
+
+        for pid in ("scene_a", "scene_b"):
+            (base / pid).mkdir(parents=True)
+            bg = cv2.GaussianBlur(
+                rng.uniform(0, 255, (140, 140, 3)).astype(np.uint8), (0, 0), 2)
+            frames = np.stack([bg[t * 2 : t * 2 + 64, t * 3 : t * 3 + 64]
+                               for t in range(5)])
+            write_video(str(base / pid / "seed_1_original_w1.0.mp4"), frames, fps=8)
+
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        import videogpa_tpu.models.loader as loader
+
+        monkeypatch.setattr(loader, "load_vggt", lambda name: (params, cfg))
+        monkeypatch.setenv("SCORE_BASE_DIR", str(base))
+        monkeypatch.setenv("SCORE_OUTPUT_CSV", str(tmp_path / "scores.csv"))
+        monkeypatch.setenv("SCORE_NUM_FRAMES", "4")
+        monkeypatch.setenv("SCORE_BACKBONE", "vggt")
+
+        import replicate_scorer
+
+        importlib.reload(replicate_scorer)
+        replicate_scorer.main()
+
+        with open(tmp_path / "scores.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        for r in rows:
+            assert r["error"] in ("", None)
+            assert np.isfinite(float(r["consistency_score"]))
+            assert np.isfinite(float(r["mvcs"]))
+        out_json = str(tmp_path / "scores.json")
+        with open(out_json) as f:
+            report = json.load(f)
+        assert "summary" in report and len(report["rows"]) == 2
+
+        # resume: second run scores nothing new
+        importlib.reload(replicate_scorer)
+        replicate_scorer.main()
+        with open(out_json) as f:
+            report2 = json.load(f)
+        assert len(report2["rows"]) == 2
