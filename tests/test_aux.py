@@ -297,3 +297,23 @@ class TestGSVideoExport:
                       max_per_tile=128)
         import os
         assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+class TestStageTimer:
+    def test_stage_accumulation_and_report(self):
+        import time as _t
+
+        from videogpa_tpu.utils import StageTimer
+
+        syncs = []
+        t = StageTimer(sync=lambda: syncs.append(1))
+        for _ in range(3):
+            with t.stage("forward"):
+                _t.sleep(0.01)
+        with t.stage("decode"):
+            _t.sleep(0.005)
+        s = t.summary()
+        assert s["forward"]["count"] == 3
+        assert s["forward"]["mean_ms"] >= 9
+        assert len(syncs) == 8  # 2 per stage enter/exit
+        assert "forward" in t.report() and "decode" in t.report()
