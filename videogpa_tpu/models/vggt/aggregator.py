@@ -74,6 +74,7 @@ def aggregator_forward(
     cfg: VGGTConfig,
     attn_impl: str = "auto",
     compute_dtype=jnp.float32,
+    keep_layers=None,
 ) -> Tuple[jax.Array, int]:
     """Run the alternating-attention trunk.
 
@@ -126,7 +127,27 @@ def aggregator_forward(
         out = jnp.concatenate([frame_inter, global_inter], axis=-1)
         return global_inter, out.reshape(B, S, P, 2 * C)
 
-    _, layer_outputs = jax.lax.scan(
-        body, tokens, (params["frame_blocks"], params["global_blocks"])
-    )
-    return layer_outputs, cfg.patch_start_idx
+    blocks = (params["frame_blocks"], params["global_blocks"])
+    if keep_layers is None:
+        _, layer_outputs = jax.lax.scan(body, tokens, blocks)
+        return layer_outputs, cfg.patch_start_idx
+
+    # keep only the requested layers: scan the stretches between them and
+    # unroll the kept layers, so activation memory is O(len(keep)) instead of
+    # O(depth) — the full 24-layer stack is 17 GB at scoring batch 4.
+    keep = tuple(sorted(set(keep_layers)))
+
+    def seg_body(t, lp):
+        return body(t, lp)[0], None
+
+    outs = []
+    t = tokens
+    start = 0
+    for k in keep:
+        if k > start:
+            seg = jax.tree.map(lambda a: a[start:k], blocks)
+            t, _ = jax.lax.scan(seg_body, t, seg)
+        t, out = body(t, jax.tree.map(lambda a: a[k], blocks))
+        outs.append(out)
+        start = k + 1
+    return jnp.stack(outs), cfg.patch_start_idx

@@ -269,27 +269,71 @@ def dpt_head_forward(
     use_pos_embed: bool = True,
     with_conf: bool = True,
     inplace_relu: bool = True,
+    chunk_size: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """DPT dense prediction.
 
     Args:
         layer_outputs: (depth, B, S, P, 2C) aggregator outputs.
         img_hw: original (H, W).
+        chunk_size: frames per inner step — the full-resolution fusion
+            features are the peak-memory tensor (reference chunks at 8,
+            ``vggt/heads/dpt_head.py:115-171``); the B*S axis is processed
+            in ``lax.map`` chunks of the largest divisor <= chunk_size.
 
     Returns:
         (preds (B, S, H, W, out-1), conf (B, S, H, W)).
     """
     H, W = img_hw
-    ph, pw = H // cfg.patch_size, W // cfg.patch_size
     _, B, S, P, C2 = layer_outputs.shape
+    BS = B * S
+    chunk = max(
+        (c for c in range(1, min(chunk_size, BS) + 1) if BS % c == 0),
+        default=BS,
+    )
+    flat = layer_outputs.reshape(layer_outputs.shape[0], BS, P, C2)
+
+    def one_chunk(tokens):  # (depth, chunk, P, C2)
+        return _dpt_core(
+            params, tokens, cfg, img_hw, activation, conf_activation,
+            feature_only, down_ratio, use_pos_embed, with_conf, inplace_relu,
+        )
+
+    if chunk == BS:
+        outs = one_chunk(flat)
+    else:
+        g = BS // chunk
+        stacked = jax.lax.map(
+            one_chunk,
+            jnp.moveaxis(flat.reshape(flat.shape[0], g, chunk, P, C2), 1, 0),
+        )
+        outs = jax.tree.map(
+            lambda a: a.reshape(g * chunk, *a.shape[2:]), stacked
+        )
+    if feature_only:
+        return outs.reshape(B, S, *outs.shape[1:])
+    unflat = tuple(
+        o.reshape(B, S, *o.shape[1:]) if o is not None else None for o in outs
+    )
+    return unflat if len(unflat) == 3 else unflat[:2]
+
+
+def _dpt_core(
+    params, layer_outputs, cfg, img_hw, activation, conf_activation,
+    feature_only, down_ratio, use_pos_embed, with_conf, inplace_relu,
+):
+    """Single-chunk DPT body. layer_outputs: (depth, K, P, C2) flat tokens."""
+    H, W = img_hw
+    ph, pw = H // cfg.patch_size, W // cfg.patch_size
+    _, K, P, C2 = layer_outputs.shape
 
     pyramid = []
     for i, layer_idx in enumerate(cfg.dpt_intermediate_layers):
-        x = layer_outputs[layer_idx][:, :, cfg.patch_start_idx :]
-        x = x.reshape(B * S, ph * pw, C2).astype(jnp.float32)
+        x = layer_outputs[layer_idx][:, cfg.patch_start_idx :]
+        x = x.reshape(K, ph * pw, C2).astype(jnp.float32)
         if params["norm"]:  # DA3 mono DPT uses norm_type="idt" (Identity)
             x = L.layernorm(params["norm"], x)
-        x = jnp.transpose(x, (0, 2, 1)).reshape(B * S, C2, ph, pw)
+        x = jnp.transpose(x, (0, 2, 1)).reshape(K, C2, ph, pw)
         x = L.conv2d(params["projects"][i], x)
         if use_pos_embed:
             x = x + _uv_pos_embed(ph, pw, x.shape[1], W, H).astype(x.dtype)
@@ -320,7 +364,7 @@ def dpt_head_forward(
             out.shape[-2], out.shape[-1], out.shape[1], W, H
         ).astype(out.dtype)
     if feature_only:
-        return out.reshape(B, S, *out.shape[1:])
+        return out
     feat = out
     out = L.conv2d(params["output_conv2a"], feat, padding=1)
     out = jax.nn.relu(out)
@@ -328,14 +372,12 @@ def dpt_head_forward(
 
     if with_conf:
         preds, conf = activate_head(out, activation, conf_activation)
-        conf = conf.reshape(B, S, *conf.shape[1:])
     else:  # mono DPT: all channels are the prediction (da3 model/dpt.py:253-256)
         preds = _activate_single(out, activation)
         conf = None
-    preds = preds.reshape(B, S, *preds.shape[1:])
     if "sky_conv2a" not in params:
         return preds, conf
     s = jax.nn.relu(L.conv2d(params["sky_conv2a"], feat, padding=1))
     s = L.conv2d(params["sky_conv2b"], s)
     sky = jax.nn.relu(s[:, 0])  # sky_activation="relu" (da3 model/dpt.py:58)
-    return preds, conf, sky.reshape(B, S, *sky.shape[1:])
+    return preds, conf, sky

@@ -65,26 +65,37 @@ def vggt_forward(
         images = images[None]
     B, S, _, H, W = images.shape
 
+    # only the DPT taps + final layer are consumed; keeping just those bounds
+    # activation memory at O(5) layers instead of O(depth)
+    keep = tuple(sorted(set(cfg.dpt_intermediate_layers) | {cfg.depth - 1}))
+    pos = {layer: i for i, layer in enumerate(keep)}
     layer_outputs, _ = aggregator_forward(
-        params["aggregator"], images, cfg, attn_impl, compute_dtype
+        params["aggregator"], images, cfg, attn_impl, compute_dtype,
+        keep_layers=keep,
     )
     layer_outputs = layer_outputs.astype(jnp.float32)
+    import dataclasses
+
+    hcfg = dataclasses.replace(
+        cfg,
+        dpt_intermediate_layers=tuple(pos[l] for l in cfg.dpt_intermediate_layers),
+    )
 
     preds: Dict[str, jax.Array] = {"images": images}
     if "camera_head" in params:
-        cam_tokens = layer_outputs[-1][:, :, 0]
+        cam_tokens = layer_outputs[pos[cfg.depth - 1]][:, :, 0]
         pose_enc_list = camera_head_forward(params["camera_head"], cam_tokens, cfg, attn_impl)
         preds["pose_enc"] = pose_enc_list[-1]
         preds["pose_enc_list"] = pose_enc_list
     if "depth_head" in params:
         depth, depth_conf = dpt_head_forward(
-            params["depth_head"], layer_outputs, cfg, (H, W), "exp", "expp1"
+            params["depth_head"], layer_outputs, hcfg, (H, W), "exp", "expp1"
         )
         preds["depth"] = depth
         preds["depth_conf"] = depth_conf
     if "point_head" in params:
         pts, conf = dpt_head_forward(
-            params["point_head"], layer_outputs, cfg, (H, W), "inv_log", "expp1"
+            params["point_head"], layer_outputs, hcfg, (H, W), "inv_log", "expp1"
         )
         preds["world_points"] = pts
         preds["world_points_conf"] = conf
@@ -94,7 +105,7 @@ def vggt_forward(
         if query_points.ndim == 2:
             query_points = query_points[None]
         track_list, vis, conf = track_head_forward(
-            params["track_head"], layer_outputs, (H, W), query_points, cfg
+            params["track_head"], layer_outputs, (H, W), query_points, hcfg
         )
         preds["track"] = track_list[-1]
         preds["vis"] = vis

@@ -395,6 +395,13 @@ def attention(
     Nk = k.shape[2]
     bq = min(block_q, _round_up(Nq, 128))
     bk = min(block_k, _round_up(Nk, 128))
+    # short sequences: arrays pad to a block multiple, so a 1024-wide block
+    # wastes up to ~2x FLOPs at N ~1.3k (VGGT frame attention) — shrink
+    # blocks so the padded shape hugs N
+    if _round_up(Nq, 128) < 4 * block_q:
+        bq = min(bq, 512)
+    if _round_up(Nk, 128) < 4 * block_k:
+        bk = min(bk, 512)
     Nq_p, Nk_p = _round_up(Nq, bq), _round_up(Nk, bk)
 
     def pad(x, n_to):
