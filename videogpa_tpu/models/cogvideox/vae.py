@@ -375,6 +375,20 @@ def _blend_tiles(tiles, positions_h, positions_w, tile_h, tile_w, out_h, out_w):
     return acc / np.maximum(wacc, 1e-8)
 
 
+# module-level jits so repeated tiled calls reuse the compiled tile program
+# (a per-call inner jit recompiled every invocation: ~100 s per call on the
+# remote-compile TPU backend vs 0.9 s of actual tile compute)
+_decode_tile_jit = jax.jit(
+    lambda params, z, cfg: vae_decode(params, z, cfg), static_argnums=(2,)
+)
+_encode_tile_jit = jax.jit(
+    lambda params, v, k, cfg, sample: vae_encode(
+        params, v, cfg, key=k, sample=sample
+    ),
+    static_argnums=(3, 4),
+)
+
+
 def vae_decode_tiled(
     params: dict,
     latents: jax.Array,
@@ -391,9 +405,7 @@ def vae_decode_tiled(
     th = min(tile_latent, H)
     tw = min(tile_latent, W)
 
-    @functools.partial(jax.jit, static_argnums=())
-    def decode_tile(z):
-        return vae_decode(params, z, cfg)
+    decode_tile = lambda z: _decode_tile_jit(params, z, cfg)
 
     pos_h = _tile_positions(H, th, overlap_latent)
     pos_w = _tile_positions(W, tw, overlap_latent)
@@ -426,9 +438,7 @@ def vae_encode_tiled(
     th = min(tile_pixels, H)
     tw = min(tile_pixels, W)
 
-    @functools.partial(jax.jit, static_argnums=())
-    def encode_tile(v, k):
-        return vae_encode(params, v, cfg, key=k, sample=sample)
+    encode_tile = lambda v, k: _encode_tile_jit(params, v, k, cfg, sample)
 
     import jax as _jax
 
