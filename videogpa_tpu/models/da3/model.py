@@ -93,6 +93,11 @@ class DA3Prediction:
     gaussians: Optional[object] = None  # models.da3.gaussians.Gaussians
 
 
+# module-level jit: eager dispatch costs ~100 ms/op on remote TPU backends
+# and a per-call jax.jit wrapper would recompile every call
+_da3_forward_j = jax.jit(da3_forward, static_argnums=(2, 3, 4))
+
+
 def da3_inference(
     params: dict,
     frames: np.ndarray,
@@ -113,7 +118,7 @@ def da3_inference(
     normed = (imgs - mean) / std
     x = jnp.asarray(normed.transpose(0, 3, 1, 2))[None]  # (1, S, 3, H, W)
 
-    out = da3_forward(params, x, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype)
+    out = _da3_forward_j(params, x, cfg, attn_impl, compute_dtype)
     extr = np.asarray(out["extrinsics"][0])
     depth = np.asarray(out["depth"][0])
     if gt_extrinsics is not None:

@@ -149,6 +149,10 @@ def apply_mono_sky_postprocess(
     return out
 
 
+# module-level jit: a per-call jax.jit wrapper would recompile every call
+_mono_forward_j = jax.jit(mono_forward, static_argnums=(2, 3, 4))
+
+
 def mono_inference(
     params: dict,
     frames: np.ndarray,  # (S, H, W, 3) uint8, /14-divisible
@@ -162,9 +166,8 @@ def mono_inference(
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
     normed = ((imgs - mean) / std).transpose(0, 3, 1, 2)[None]
-    out = jax.jit(
-        mono_forward, static_argnums=(2, 3, 4)
-    )(params, jnp.asarray(normed), cfg, attn_impl, compute_dtype)
+    out = _mono_forward_j(params, jnp.asarray(normed), cfg, attn_impl,
+                          compute_dtype)
     depth = np.asarray(out["depth"][0], np.float32)
     sky = np.asarray(out["sky"][0], np.float32)
     if sky_postprocess:
