@@ -95,6 +95,27 @@ def bench_reward():
     return 60.0 / dt, K * 60.0 / dtb
 
 
+def bench_wan():
+    import jax
+    import jax.numpy as jnp
+
+    from videogpa_tpu.models.wan import WanConfig
+    from videogpa_tpu.models.wan.dit import wan_forward, wan_init
+
+    cfg = WanConfig.ti2v_5b()
+    params = wan_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    B = 2  # CFG pair
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 48, 21, 44, 80), jnp.bfloat16)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (B, 512, 4096), jnp.bfloat16)
+    t = jnp.full((B,), 500.0)
+    f = jax.jit(lambda p, x, txt, t: jnp.sum(wan_forward(p, x, t, txt, cfg)))
+    float(np.asarray(f(params, x, txt, t)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        s = float(np.asarray(f(params, x, txt, t)))
+    return 3 / (time.perf_counter() - t0)
+
+
 def main():
     steps_per_sec, dt = bench_denoise()
     result = {
@@ -104,6 +125,8 @@ def main():
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "step_ms": round(dt * 1000, 1),
     }
+    if os.environ.get("VIDEOGPA_BENCH_WAN") == "1":
+        result["wan_steps_per_sec"] = round(bench_wan(), 4)
     if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
         single, batched = bench_reward()
         result["reward_clips_per_min"] = round(single, 2)
