@@ -263,3 +263,36 @@ class TestReplicateScorerE2E:
         with open(out_json) as f:
             report2 = json.load(f)
         assert len(report2["rows"]) == 2
+
+
+class TestTrainResume:
+    def test_full_state_checkpoint_roundtrip(self, tmp_path):
+        """TrainState (lora + optimizer + step) restores exactly."""
+        import jax.numpy as jnp
+
+        from videogpa_tpu.checkpoint import TrainCheckpointer
+        from videogpa_tpu.train.lora import lora_init
+        from videogpa_tpu.train.trainer import (
+            TrainerConfig, TrainState, init_train_state,
+        )
+
+        tcfg = TrainerConfig(lora_rank=4, lora_alpha=8.0, warmup_steps=2,
+                             max_steps=10, accumulate_grad_batches=2)
+        lora = lora_init(jax.random.PRNGKey(0), 2, 16, rank=4)
+        state = init_train_state(lora, tcfg)
+        state = TrainState(
+            lora=jax.tree.map(lambda a: a + 1.0, state.lora),
+            opt_state=state.opt_state,
+            step=jnp.asarray(7, jnp.int32),
+        )
+        ck = TrainCheckpointer(str(tmp_path / "ck"), save_top_k=2)
+        sd = {"lora": state.lora, "opt_state": state.opt_state, "step": state.step}
+        ck.save(7, sd, metric=1.0)
+
+        fresh = init_train_state(lora_init(jax.random.PRNGKey(1), 2, 16, rank=4), tcfg)
+        target = {"lora": fresh.lora, "opt_state": fresh.opt_state, "step": fresh.step}
+        restored = ck.restore(ck.latest(), target)
+        assert int(np.asarray(restored["step"])) == 7
+        a = jax.tree.leaves(state.lora)[0]
+        b = jax.tree.leaves(restored["lora"])[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -36,7 +36,7 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
     from videogpa_tpu.train.dataset import DPODataset, collate, train_val_split
     from videogpa_tpu.train.lora import export_peft, lora_init
     from videogpa_tpu.train.trainer import (
-        TrainerConfig, init_train_state, make_dpo_train_step,
+        TrainerConfig, TrainState, init_train_state, make_dpo_train_step,
     )
     from videogpa_tpu.utils import MetricLogger
 
@@ -88,6 +88,18 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
     log_every = config.get("log_every_n_steps", 10)
     ckpt_every = config.get("checkpoint_every_n_steps", 1000)
 
+    # resume from the newest checkpoint (the reference relies on Lightning's
+    # ckpt_path; here resume is automatic when checkpoints exist)
+    def _state_dict(st):
+        return {"lora": st.lora, "opt_state": st.opt_state, "step": st.step}
+
+    latest = ckpt.latest() if config.get("resume", True) else None
+    if latest is not None:
+        restored = ckpt.restore(latest, _state_dict(state))
+        state = TrainState(**restored)
+        step = int(np.asarray(state.step))
+        print(f"resumed from {latest} at step {step}")
+
     def make_batch(indices):
         items = [ds[int(i)] for i in indices]
         b = collate(items)
@@ -115,7 +127,7 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
                     val_losses.append(float(eval_step(state, vb, sub)["loss"]))
                 val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
                 logger.log(step, {"val/loss": val_loss})
-                ckpt.save(step, {"lora": state.lora}, metric=val_loss)
+                ckpt.save(step, _state_dict(state), metric=val_loss)
             if step >= tcfg.max_steps:
                 break
 
