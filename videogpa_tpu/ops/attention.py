@@ -393,6 +393,10 @@ def attention(
 
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
+    if D >= 128:
+        # measured on v5e at N~18k: D=128 runs 90 TFLOP/s with 1024-wide KV
+        # blocks vs 85 at 2048 (and the working set doubles with D)
+        block_k = min(block_k, 1024)
     bq = min(block_q, _round_up(Nq, 128))
     bk = min(block_k, _round_up(Nk, 128))
     # short sequences: arrays pad to a block multiple, so a 1024-wide block
