@@ -545,3 +545,33 @@ class TestNestedNet:
         assert out.is_metric == 1
         assert out.depth.shape == (2, 28, 28)
         assert np.isfinite(out.depth).all() and out.scale_factor > 0
+
+
+class TestGSRendererGrad:
+    def test_renderer_is_differentiable(self):
+        """Gradient flows to gaussian parameters through the rasterizer."""
+        from videogpa_tpu.models.da3.gaussians import Gaussians
+        from videogpa_tpu.models.da3.gs_render import _SH_C0, render_3dgs
+
+        W, H = 32, 32
+        extr = np.eye(4, dtype=np.float32)[None]
+        intr = np.array(
+            [[[30.0 / W, 0, 0.5], [0, 30.0 / H, 0.5], [0, 0, 1]]], np.float32)
+        target = jnp.zeros((1, 3, H, W))
+
+        def loss(means):
+            g = Gaussians(
+                means=means,
+                harmonics=jnp.full((1, 1, 3, 1), 0.5 / _SH_C0),
+                opacities=jnp.full((1, 1), 0.9),
+                scales=jnp.full((1, 1, 3), 0.05),
+                rotations=jnp.array([[[1.0, 0, 0, 0]]]),
+            )
+            color, _ = render_3dgs(jnp.asarray(extr), jnp.asarray(intr),
+                                   (H, W), g, max_per_tile=1)
+            return jnp.sum((color - target) ** 2)
+
+        means = jnp.array([[[0.0, 0.0, 2.0]]])
+        g = jax.grad(loss)(means)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0  # non-trivial gradient
