@@ -63,7 +63,7 @@ _LN2 = 0.6931471805599453
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
-                *, n_valid, block_k, head_dim, aug):
+                *, n_valid, block_k, head_dim, aug, with_lse=True):
     """Online-softmax forward, VPU-lean formulation.
 
     The head is VPU-bound at head_dim 64 (the exp/softmax work per MXU flop
@@ -114,12 +114,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
         l = acc[:, head_dim : head_dim + 1] if aug else l_s[:, :1]
         l = jnp.maximum(l, 1e-30)
         o_ref[0] = (acc[:, :head_dim] / l).astype(o_ref.dtype)
-        # natural-log lse from the base-2 running stats
-        lse = (m_s[:, :1] + jnp.log2(l)) * _LN2
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        if with_lse:
+            # natural-log lse from the base-2 running stats
+            lse = (m_s[:, :1] + jnp.log2(l)) * _LN2
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_fwd(q, k, v, n_valid, block_q, block_k):
+def _flash_fwd(q, k, v, n_valid, block_q, block_k, with_lse=True):
+    """with_lse=False drops the logsumexp output entirely — the inference
+    path (custom_vjp primal, no grad) doesn't need it, and the extra output
+    pipeline costs real bandwidth per grid step."""
     BH, N, D = q.shape
     Nk = k.shape[1]
     scale = D ** -0.5
@@ -144,35 +148,45 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k):
         v_in = v
 
     kernel = functools.partial(
-        _fwd_kernel, n_valid=n_valid, block_k=block_k, head_dim=D, aug=aug
+        _fwd_kernel, n_valid=n_valid, block_k=block_k, head_dim=D, aug=aug,
+        with_lse=with_lse,
     )
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D_aug), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, _LSE_LANES), lambda b, i, j: (b, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, N, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, N, _LSE_LANES), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, D_aug), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, D_aug), lambda b, i, j: (b, j, 0)),
+    ]
+    o_spec = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
+    o_shape = jax.ShapeDtypeStruct((BH, N, D), q.dtype)
+    lse_spec = pl.BlockSpec((1, block_q, _LSE_LANES), lambda b, i, j: (b, i, 0))
+    lse_shape = jax.ShapeDtypeStruct((BH, N, _LSE_LANES), jnp.float32)
+    scratch = [
+        pltpu.VMEM((block_q, D_aug), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if with_lse:
+        out, lse = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs,
+            out_specs=[o_spec, lse_spec], out_shape=[o_shape, lse_shape],
+            scratch_shapes=scratch, compiler_params=cparams,
+            interpret=INTERPRET,
+        )(q, k, v_in)
+        return out, lse
+
+    def kernel_nolse(q_ref, k_ref, v_ref, o_ref, acc, m_s, l_s):
+        kernel(q_ref, k_ref, v_ref, o_ref, None, acc, m_s, l_s)
+
+    out = pl.pallas_call(
+        kernel_nolse, grid=grid, in_specs=in_specs,
+        out_specs=o_spec, out_shape=o_shape,
+        scratch_shapes=scratch, compiler_params=cparams,
         interpret=INTERPRET,
     )(q, k, v_in)
-    return out, lse
+    return out, None
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +349,8 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, n_valid, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, n_valid, block_q, block_k)
+    # primal (inference) path: no grad -> no logsumexp output needed
+    out, _ = _flash_fwd(q, k, v, n_valid, block_q, block_k, with_lse=False)
     return out
 
 
