@@ -221,3 +221,35 @@ class TestTrainStep:
 
         ev = eval_step(state, batch, jax.random.PRNGKey(42))
         assert np.isfinite(float(ev["loss"]))
+
+
+class TestCogVideoX15Trim:
+    def test_odd_latents_trimmed_for_patch_size_t(self):
+        """1.5 (patch_size_t=2) trains on odd-frame latents by trimming
+        (reference CogVideoX1.5 trainer :135-142)."""
+        import dataclasses
+
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_init
+        from videogpa_tpu.train.lora import lora_init
+        from videogpa_tpu.train.trainer import (
+            TrainerConfig, init_train_state, make_dpo_train_step,
+        )
+
+        cfg = dataclasses.replace(CogVideoXConfig.tiny(), patch_size_t=2)
+        dit = dit_init(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainerConfig(lora_rank=4, lora_alpha=8.0, warmup_steps=1,
+                             max_steps=5, compute_dtype=jnp.float32,
+                             remat=False, attn_impl="xla")
+        lora = lora_init(jax.random.PRNGKey(1), cfg.num_layers, cfg.hidden_dim, rank=4)
+        state = init_train_state(lora, tcfg)
+        train_step, _ = make_dpo_train_step(dit, cfg, tcfg)
+        B, C, F, H, W = 1, cfg.in_channels, 5, 10, 14  # odd F, non-patch H/W
+        rng = np.random.default_rng(0)
+        batch = {
+            "x_win": jnp.asarray(rng.standard_normal((B, C, F, H, W)), jnp.float32),
+            "x_lose": jnp.asarray(rng.standard_normal((B, C, F, H, W)), jnp.float32),
+            "prompt_emb": jnp.asarray(rng.standard_normal(
+                (B, cfg.max_text_seq_length, cfg.text_embed_dim)), jnp.float32),
+        }
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))

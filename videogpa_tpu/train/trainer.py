@@ -146,6 +146,17 @@ def make_dpo_train_step(
     def shared_step(lora, batch, key):
         x_win = jnp.transpose(batch["x_win"], (0, 2, 1, 3, 4))  # -> (B, F, C, H, W)
         x_lose = jnp.transpose(batch["x_lose"], (0, 2, 1, 3, 4))
+        if cfg.patch_size_t is not None:
+            # CogVideoX1.5: trim latents so F divides patch_size_t and H/W
+            # divide the spatial patch (reference 1.5 trainer :135-142 trims
+            # 21-frame latents to even dims)
+            _, F0, _, H0, W0 = x_win.shape
+            nf = F0 - F0 % cfg.patch_size_t
+            nh = H0 - H0 % cfg.patch_size
+            nw = W0 - W0 % cfg.patch_size
+            if (nf, nh, nw) != (F0, H0, W0):
+                x_win = x_win[:, :nf, :, :nh, :nw]
+                x_lose = x_lose[:, :nf, :, :nh, :nw]
         prompt_emb = batch["prompt_emb"]
         B, F = x_win.shape[:2]
 
