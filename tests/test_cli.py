@@ -296,3 +296,27 @@ class TestTrainResume:
         a = jax.tree.leaves(state.lora)[0]
         b = jax.tree.leaves(restored["lora"])[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestPromptGeneration:
+    def test_generate_i2v_prompts(self, tmp_path):
+        import importlib.util
+        import subprocess
+
+        for scene in ("scene_x", "scene_y"):
+            (tmp_path / "frames" / scene).mkdir(parents=True)
+            (tmp_path / "frames" / scene / "frame_00001.png").write_bytes(b"x")
+        out = tmp_path / "prompts.json"
+        r = subprocess.run(
+            [sys.executable, "data_prep/generate_i2v_prompts.py",
+             "--frames_dir", str(tmp_path / "frames"),
+             "--output_json", str(out), "--seed", "7"],
+            cwd="/root/repo", capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        data = json.loads(out.read_text())
+        assert set(data) == {"scene_x", "scene_y"}
+        for v in data.values():
+            assert v["text_prompt"].startswith("A completely static scene")
+            assert "camera" in v["text_prompt"]
+            assert os.path.exists(v["image_path"])
