@@ -9,7 +9,7 @@ isolate per-item failures, save atomically after every group.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from videogpa_tpu.utils import safe_load_json, safe_save_json
 

@@ -9,8 +9,6 @@ telemetry.
 from __future__ import annotations
 
 import os
-import time
-from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ ImageNet normalization. The reference's inline self-test assertions
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ flash kernel. Param names mirror diffusers keys for conversion.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -24,7 +24,7 @@ import numpy as np
 from videogpa_tpu.models.cogvideox.config import CogVideoXConfig
 from videogpa_tpu.models.cogvideox.dit import dit_forward
 from videogpa_tpu.models.cogvideox.scheduler import CogVideoXScheduler
-from videogpa_tpu.models.cogvideox.vae import vae_decode, vae_encode
+from videogpa_tpu.models.cogvideox.vae import vae_encode
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,11 +183,28 @@ def decode_latents(vae_params, latents: jax.Array, cfg: CogVideoXConfig) -> jax.
     """(B, F, C, h, w) latents -> (B, 3, T, H, W) video in [-1, 1].
 
     Large spatial grids decode through overlapping tiles (the reference's
-    enable_tiling) to bound peak HBM."""
+    enable_tiling) to bound peak HBM. Decoding usually runs with the 5B DiT
+    still resident; if a tile size doesn't fit next to the weights (device
+    OOM), the tile shrinks and the decode retries — some backends expose no
+    memory stats to plan with (override with VIDEOGPA_VAE_TILE).
+    """
+    import os
+
     from videogpa_tpu.models.cogvideox.vae import vae_decode_tiled
 
     z = jnp.transpose(latents, (0, 2, 1, 3, 4))
-    return jnp.clip(vae_decode_tiled(vae_params, z, cfg), -1.0, 1.0)
+    env = os.environ.get("VIDEOGPA_VAE_TILE")
+    sizes = [int(env)] if env else [32, 16, 8]
+    for i, tile in enumerate(sizes):
+        try:
+            out = vae_decode_tiled(vae_params, z, cfg, tile_latent=tile)
+            return jnp.clip(out, -1.0, 1.0)
+        except Exception as e:  # jaxlib runtime errors don't share a base
+            oom = "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower()
+            if not oom or i == len(sizes) - 1:
+                raise
+            print(f"decode tile {tile} OOM; retrying with {sizes[i + 1]}")
+    raise AssertionError("unreachable")
 
 
 def video_to_uint8(video: jax.Array) -> np.ndarray:

@@ -21,9 +21,8 @@ onto the MXU; bf16 compute with f32 norm statistics.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Mapping
 
-import jax
 import numpy as np
 
 from videogpa_tpu.convert import t_array, t_conv2d, t_conv_transpose2d, t_layernorm, t_linear

@@ -13,13 +13,13 @@ optional-import behavior.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from videogpa_tpu.geometry import affine_inverse, quat_to_mat
+from videogpa_tpu.geometry import affine_inverse
 from videogpa_tpu.models.da3.config import DA3Config
 from videogpa_tpu.models.vggt.heads import dpt_head_forward, dpt_head_init
 from videogpa_tpu.models.vggt.config import VGGTConfig

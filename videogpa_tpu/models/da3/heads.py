@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from videogpa_tpu.models.da3.config import DA3Config
-from videogpa_tpu.models.vggt.heads import _fusion, _rcu, _uv_pos_embed
+from videogpa_tpu.models.vggt.heads import _fusion, _uv_pos_embed
 from videogpa_tpu.ops import layers as L
 from videogpa_tpu.ops.resize import resize_bilinear
 

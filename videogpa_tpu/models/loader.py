@@ -83,7 +83,6 @@ def _to_f32(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def load_cogvideox(model_name_or_path: str, cfg=None, dtype=None):
     """Load a diffusers-layout CogVideoX checkpoint -> (dit, vae params)."""
-    import jax.numpy as jnp
 
     from videogpa_tpu.models.cogvideox.config import CogVideoXConfig
     from videogpa_tpu.models.cogvideox.convert import convert_dit, convert_vae

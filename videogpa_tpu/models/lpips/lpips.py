@@ -17,7 +17,7 @@ lpips ``lin*`` checkpoint.
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Tuple
+from typing import List, Mapping
 
 import jax
 import jax.numpy as jnp

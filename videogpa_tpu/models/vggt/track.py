@@ -18,7 +18,7 @@ Quirks preserved for weight parity:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Key naming follows the Wan repo module tree for weight conversion.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

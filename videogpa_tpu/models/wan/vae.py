@@ -13,7 +13,6 @@ Shares the causal-conv/groupnorm/resnet primitives with the CogVideoX VAE
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

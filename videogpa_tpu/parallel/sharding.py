@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from videogpa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS

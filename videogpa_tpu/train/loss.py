@@ -14,7 +14,6 @@ non-batch axes so any latent layout works.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
