@@ -341,7 +341,7 @@ def _tile_positions(size: int, tile: int, overlap: int):
     tile shape is ever compiled."""
     if size <= tile:
         return [0]
-    stride = tile - overlap
+    stride = max(tile - overlap, max(tile // 2, 1))  # overlap can't eat the tile
     pos = list(range(0, size - tile, stride))
     pos.append(size - tile)
     return pos
