@@ -45,12 +45,13 @@ def main():
 
     cfg = WanConfig.ti2v_5b()
     sd = _to_f32(load_safetensors_dir(resolve_model_dir(args.base_model)))
-    from videogpa_tpu.models.wan.convert import convert_wan, convert_wan_vae
+    from videogpa_tpu.models.wan.convert import convert_wan
 
     dit = convert_wan(sd, cfg)
     try:
-        vae_sd = _to_f32(load_safetensors_dir(resolve_model_dir(args.base_model, "vae")))
-        vae = convert_wan_vae(vae_sd, cfg)
+        from videogpa_tpu.models.loader import load_wan_vae
+
+        vae = load_wan_vae(args.base_model, cfg)
     except FileNotFoundError:
         vae = wan_vae_init(jax.random.PRNGKey(0), cfg)
         print("WARNING: Wan VAE weights not found; using random VAE")

@@ -40,11 +40,9 @@ def main():
 
     cfg = WanConfig.ti2v_5b()
     try:
-        from videogpa_tpu.models.wan.convert import convert_wan_vae
+        from videogpa_tpu.models.loader import load_wan_vae
 
-        vae = convert_wan_vae(
-            _to_f32(load_safetensors_dir(resolve_model_dir(args.model_path, "vae"))), cfg
-        )
+        vae = load_wan_vae(args.model_path, cfg)
     except Exception as e:
         print(f"WARNING: Wan VAE weights unavailable ({e}); random init")
         vae = wan_vae_init(jax.random.PRNGKey(0), cfg)
@@ -61,7 +59,10 @@ def main():
 
     @jax.jit
     def encode_video(video, key):
-        return wan_vae_encode(vae, video, cfg, key=key, sample=True)
+        # Wan2_2_VAE.encode is deterministic (returns the posterior mean);
+        # key is threaded for signature stability but unused.
+        del key
+        return wan_vae_encode(vae, video, cfg, sample=False)
 
     for gi, group in enumerate(data["groups"]):
         gid = str(group.get("group_id", gi)).replace("/", "_")

@@ -118,6 +118,46 @@ def load_da3(model_name_or_path: str = "depth-anything/DA3-Large", cfg=None):
     return convert_da3(sd, cfg), cfg
 
 
+def load_wan_vae(model_name_or_path: str, cfg=None):
+    """Load the Wan2.2 VAE.
+
+    Handles the native Wan checkpoint layout the reference uses
+    (``Wan2.2_VAE.pth`` at the model root, ``wan/modules/vae2_2.py`` keys,
+    reference ``train/Wan2.2-TI2V-5B/02_encode.py:103-107``) and falls back
+    to a ``vae/`` subfolder of safetensors. ``latents_mean``/``latents_std``
+    are not stored in the native checkpoint (the Wan repo hardcodes them);
+    they are read from ``vae/config.json`` or a ``vae_stats.json`` side file
+    when present.
+    """
+    from videogpa_tpu.models.wan.config import WanConfig
+    from videogpa_tpu.models.wan.convert import convert_wan_vae
+
+    cfg = cfg or WanConfig.ti2v_5b()
+    root = resolve_model_dir(model_name_or_path)
+    mean = std = None
+    for stats_file in (
+        os.path.join(root, "vae_stats.json"),
+        os.path.join(root, "vae", "config.json"),
+    ):
+        if os.path.isfile(stats_file):
+            with open(stats_file) as f:
+                j = json.load(f)
+            if "latents_mean" in j and "latents_std" in j:
+                mean, std = j["latents_mean"], j["latents_std"]
+                break
+
+    pths = sorted(
+        f for f in os.listdir(root) if f.endswith(".pth") and "VAE" in f.upper()
+    )
+    if pths:
+        from videogpa_tpu.convert import load_torch_state_dict
+
+        sd = _to_f32(load_torch_state_dict(os.path.join(root, pths[0])))
+    else:
+        sd = _to_f32(load_safetensors_dir(resolve_model_dir(model_name_or_path, "vae")))
+    return convert_wan_vae(sd, cfg, latents_mean=mean, latents_std=std)
+
+
 def load_t5(model_name_or_path: str, cfg=None):
     from videogpa_tpu.models.t5.encoder import T5Config, convert_t5_encoder
 

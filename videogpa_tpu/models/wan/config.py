@@ -26,10 +26,16 @@ class WanConfig:
     patch_size: Tuple[int, int, int] = (1, 2, 2)
     rope_theta: float = 10000.0
     eps: float = 1e-6
-    # VAE
+    # VAE (Wan2.2 vae2_2.py operating point: z=48, stride (4,16,16),
+    # encoder base 160 / decoder base 256, 2x2 input patchify)
     vae_z_dim: int = 48
     vae_stride: Tuple[int, int, int] = (4, 16, 16)
     vae_base_ch: int = 160
+    vae_dec_base_ch: int = 256
+    vae_patch_size: int = 2
+    vae_dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    vae_num_res_blocks: int = 2
+    vae_temporal_down: Tuple[bool, ...] = (False, True, True)
     # flow matching
     num_train_timesteps: int = 1000
     shift: float = 5.0
@@ -62,5 +68,6 @@ class WanConfig:
             text_len=16,
             freq_dim=16,
             vae_z_dim=6,
-            vae_base_ch=16,
+            vae_base_ch=8,
+            vae_dec_base_ch=8,
         )

@@ -68,10 +68,126 @@ def convert_wan(sd: Mapping[str, np.ndarray], cfg: WanConfig) -> dict:
     }
 
 
-def convert_wan_vae(sd: Mapping[str, np.ndarray], cfg: WanConfig) -> dict:
-    """Wan VAE conversion — layout mapping is checkpoint-dependent; until real
-    weights are available for key inspection this raises with guidance."""
-    raise NotImplementedError(
-        "Wan VAE checkpoint conversion requires the released Wan2.2 VAE key "
-        "layout; inspect the checkpoint and extend convert_wan_vae"
-    )
+def _t_conv3d(sd, pfx):
+    """torch Conv3d (O,I,kt,kh,kw) -> DHWIO."""
+    return {
+        "kernel": jnp.asarray(np.asarray(sd[f"{pfx}.weight"]).transpose(2, 3, 4, 1, 0)),
+        "bias": jnp.asarray(sd[f"{pfx}.bias"]),
+    }
+
+
+def _t_conv2d(sd, pfx):
+    """torch Conv2d (O,I,kh,kw) -> HWIO."""
+    return {
+        "kernel": jnp.asarray(np.asarray(sd[f"{pfx}.weight"]).transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(sd[f"{pfx}.bias"]),
+    }
+
+
+def _t_rms(sd, pfx):
+    """Wan RMS_norm gamma (C,1,1[,1]) -> (C,)."""
+    return {"gamma": jnp.asarray(np.asarray(sd[f"{pfx}.gamma"]).reshape(-1))}
+
+
+def _vae_resnet(sd, pfx):
+    p = {
+        "norm1": _t_rms(sd, f"{pfx}.residual.0"),
+        "conv1": _t_conv3d(sd, f"{pfx}.residual.2"),
+        "norm2": _t_rms(sd, f"{pfx}.residual.3"),
+        "conv2": _t_conv3d(sd, f"{pfx}.residual.6"),
+    }
+    if f"{pfx}.shortcut.weight" in sd:
+        p["shortcut"] = _t_conv3d(sd, f"{pfx}.shortcut")
+    return p
+
+
+def _vae_resample(sd, pfx):
+    p = {"conv": _t_conv2d(sd, f"{pfx}.resample.1")}
+    if f"{pfx}.time_conv.weight" in sd:
+        p["time_conv"] = _t_conv3d(sd, f"{pfx}.time_conv")
+    return p
+
+
+def _vae_mid(sd, pfx):
+    return {
+        "res1": _vae_resnet(sd, f"{pfx}.0"),
+        "attn": {
+            "norm": _t_rms(sd, f"{pfx}.1.norm"),
+            "qkv": _t_conv2d(sd, f"{pfx}.1.to_qkv"),
+            "proj": _t_conv2d(sd, f"{pfx}.1.proj"),
+        },
+        "res2": _vae_resnet(sd, f"{pfx}.2"),
+    }
+
+
+def convert_wan_vae(
+    sd: Mapping[str, np.ndarray],
+    cfg: WanConfig,
+    latents_mean=None,
+    latents_std=None,
+) -> dict:
+    """Wan2.2 VAE checkpoint (``Wan2.2_VAE.pth``, ``wan/modules/vae2_2.py``
+    WanVAE_ key layout) -> our pytree.
+
+    Module tree: ``encoder.conv1`` / ``encoder.downsamples.{i}.downsamples.{j}``
+    (j = resnets then the trailing Resample) / ``encoder.middle.{0,1,2}`` /
+    ``encoder.head.{0,2}`` / root ``conv1``/``conv2`` (quant / post-quant) /
+    ``decoder.conv1`` / ``decoder.upsamples.{i}.upsamples.{j}`` /
+    ``decoder.middle`` / ``decoder.head``. The parameter-free AvgDown3D /
+    DupUp3D shortcuts have no keys.
+
+    ``latents_mean``/``latents_std`` are NOT in the checkpoint — the Wan repo
+    hardcodes the 48-channel lists in ``Wan2_2_VAE.__init__`` (diffusers ships
+    them as ``vae/config.json:latents_mean/latents_std``). Pass them here;
+    omitted, latents stay un-normalized (mean 0 / std 1), which is wrong for
+    real weights — callers load them alongside the state dict.
+    """
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    n_scales = len(cfg.vae_dim_mult)
+    nrb = cfg.vae_num_res_blocks
+    z = cfg.vae_z_dim
+
+    enc = {
+        "conv_in": _t_conv3d(sd, "encoder.conv1"),
+        "scales": [],
+        "mid": _vae_mid(sd, "encoder.middle"),
+        "head_norm": _t_rms(sd, "encoder.head.0"),
+        "conv_out": _t_conv3d(sd, "encoder.head.2"),
+    }
+    for i in range(n_scales):
+        pfx = f"encoder.downsamples.{i}.downsamples"
+        scale = {"resnets": [_vae_resnet(sd, f"{pfx}.{j}") for j in range(nrb)]}
+        if i != n_scales - 1:
+            scale["resample"] = _vae_resample(sd, f"{pfx}.{nrb}")
+        enc["scales"].append(scale)
+
+    dec = {
+        "conv_in": _t_conv3d(sd, "decoder.conv1"),
+        "mid": _vae_mid(sd, "decoder.middle"),
+        "scales": [],
+        "head_norm": _t_rms(sd, "decoder.head.0"),
+        "conv_out": _t_conv3d(sd, "decoder.head.2"),
+    }
+    for i in range(n_scales):
+        pfx = f"decoder.upsamples.{i}.upsamples"
+        scale = {"resnets": [_vae_resnet(sd, f"{pfx}.{j}") for j in range(nrb + 1)]}
+        if i != n_scales - 1:
+            scale["resample"] = _vae_resample(sd, f"{pfx}.{nrb + 1}")
+        dec["scales"].append(scale)
+
+    return {
+        "encoder": enc,
+        "quant_conv": _t_conv3d(sd, "conv1"),
+        "post_quant_conv": _t_conv3d(sd, "conv2"),
+        "decoder": dec,
+        "latents_mean": (
+            jnp.zeros((z,), jnp.float32)
+            if latents_mean is None
+            else jnp.asarray(latents_mean, jnp.float32)
+        ),
+        "latents_std": (
+            jnp.ones((z,), jnp.float32)
+            if latents_std is None
+            else jnp.asarray(latents_std, jnp.float32)
+        ),
+    }
