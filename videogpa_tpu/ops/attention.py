@@ -190,6 +190,174 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k, with_lse=True):
 
 
 # ---------------------------------------------------------------------------
+# Pallas forward, transposed lagged-max variant (head_dim < 128)
+# ---------------------------------------------------------------------------
+#
+# At head_dim 64 the PV matmul's 64-wide output half-fills the 128-lane MXU;
+# computing O^T = V^T P^T instead makes the output (D, BQ) — full lanes, full
+# BK-deep contraction (measured floor 93 vs 74 TF/s on v5e). The second,
+# larger win is breaking the softmax serialization: the classic online update
+# stalls the pipeline on max(s) before exp can start (measured 70 -> 85 TF/s
+# with the dependency removed). The lagged-max reformulation is algebraically
+# identical:
+#
+#   acc_j = alpha_j * (acc_{j-1} + V^T exp2(s_j - M_{j-1})),
+#   alpha_j = exp2(M_{j-1} - M_j)
+#
+# so the exp uses the PREVIOUS step's running max (available at step start)
+# and this step's max reduction overlaps with the PV matmul. exp arguments
+# are clamped at _LAG_CLAMP (f32/bf16 overflow safety); the kernel emits the
+# largest observed block-to-block max jump, and the wrapper falls back to the
+# classic kernel via lax.cond when any jump exceeded the clamp — which needs
+# a 2^110 attention-weight ratio between kv blocks, unreachable for trained
+# models, so the fallback branch exists for exactness, not for speed.
+
+_LAG_CLAMP = 110.0
+
+
+def _fwd_kernel_T(qt_ref, k_ref, vt_ref, o_ref, jump_ref, lse_ref, acc, m_s,
+                  *, n_valid, block_k, head_dim, with_lse):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    # s^T: (BK, BQ) = K (BK, D) @ Q^T (D, BQ); 64-deep contraction (geometry
+    # bound, same as untransposed), full 128+ output lanes
+    s = jax.lax.dot_general(
+        k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if n_valid % block_k != 0:  # kv rows in the transposed layout
+        row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) + j * block_k
+        s = s + jnp.where(row < n_valid, 0.0, _NEG_INF)
+    m_loc = jnp.max(s, axis=0, keepdims=True)  # (1, BQ); overlaps with PV
+
+    @pl.when(j == 0)
+    def _():
+        # only stalled step: exact local max seeds the running frame
+        p = jnp.exp2(s - m_loc)
+        acc[:] = jax.lax.dot_general(
+            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_s[0:1] = m_loc
+        m_s[1:2] = jnp.full_like(m_loc, _NEG_INF)  # running max jump
+
+    @pl.when(j > 0)
+    def _():
+        m_prev = m_s[0:1]
+        p = jnp.exp2(jnp.minimum(s - m_prev, _LAG_CLAMP))
+        pv = jax.lax.dot_general(
+            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_new = jnp.maximum(m_prev, m_loc)
+        acc[:] = (acc[:] + pv) * jnp.exp2(m_prev - m_new)
+        m_s[0:1] = m_new
+        m_s[1:2] = jnp.maximum(m_s[1:2], m_loc - m_prev)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)  # ones-row of V^T
+        o_ref[0] = (acc[:head_dim] / l).T.astype(o_ref.dtype)
+        jump_ref[0] = jnp.broadcast_to(m_s[1:2], jump_ref.shape[1:])
+        if with_lse:
+            lse = (m_s[0:1] + jnp.log2(l)) * _LN2  # (1, BQ)
+            lse_ref[0] = jnp.broadcast_to(lse.T, lse_ref.shape[1:])
+
+
+def _flash_fwd_T(q, k, v, n_valid, block_q, block_k, with_lse=True):
+    """Transposed lagged-max forward; returns (out, lse, max_jump)."""
+    BH, N, D = q.shape
+    Nk = k.shape[1]
+    scale = D ** -0.5
+    qt = jnp.swapaxes(
+        (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype), 1, 2
+    )  # (BH, D, N)
+
+    # V^T with the softmax denominator riding as a ones ROW at row D
+    D_aug = _round_up(D + 1, 8)
+    vt = jnp.concatenate(
+        [
+            jnp.swapaxes(v, 1, 2),
+            jnp.ones((BH, 1, Nk), v.dtype),
+            jnp.zeros((BH, D_aug - D - 1, Nk), v.dtype),
+        ],
+        axis=1,
+    )
+
+    grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
+    kernel = functools.partial(
+        _fwd_kernel_T, n_valid=n_valid, block_k=block_k, head_dim=D,
+        with_lse=with_lse,
+    )
+    in_specs = [
+        pl.BlockSpec((1, D, block_q), lambda b, i, j: (b, 0, i)),
+        pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, D_aug, block_k), lambda b, i, j: (b, 0, j)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, _LSE_LANES, block_q), lambda b, i, j: (b, 0, i)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+        jax.ShapeDtypeStruct((BH, _LSE_LANES, N), jnp.float32),
+    ]
+    if with_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, _LSE_LANES), lambda b, i, j: (b, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((BH, N, _LSE_LANES), jnp.float32))
+
+    def wrapped(*refs):
+        if with_lse:
+            qt_ref, k_ref, vt_ref, o_ref, jump_ref, lse_ref, acc, m_s = refs
+        else:
+            qt_ref, k_ref, vt_ref, o_ref, jump_ref, acc, m_s = refs
+            lse_ref = None
+        kernel(qt_ref, k_ref, vt_ref, o_ref, jump_ref, lse_ref, acc, m_s)
+
+    res = pl.pallas_call(
+        wrapped, grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((D_aug, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(qt, k, vt)
+    if with_lse:
+        out, jumps, lse = res
+    else:
+        out, jumps = res
+        lse = None
+    return out, lse, jnp.max(jumps)
+
+
+def _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k, with_lse=True):
+    """Lagged-max fast path with an exactness guard: if any block-to-block
+    max jump exceeded the clamp (never for trained models), recompute with
+    the classic stalling kernel."""
+    out, lse, jump = _flash_fwd_T(q, k, v, n_valid, block_q, block_k, with_lse)
+    # the classic kernel's s-tile VMEM budget caps its q block at 1024
+    bq_exact = min(block_q, 1024)
+    if with_lse:
+        def exact(_):
+            return _flash_fwd(q, k, v, n_valid, bq_exact, block_k, True)
+
+        return jax.lax.cond(
+            jump <= _LAG_CLAMP, lambda ol: ol, exact, (out, lse)
+        )
+
+    def exact(_):
+        o, _ = _flash_fwd(q, k, v, n_valid, bq_exact, block_k, False)
+        return o
+
+    return jax.lax.cond(jump <= _LAG_CLAMP, lambda o: o, exact, out), None
+
+
+# ---------------------------------------------------------------------------
 # Pallas backward
 # ---------------------------------------------------------------------------
 
@@ -350,12 +518,18 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, n_valid, block_q, block_k):
     # primal (inference) path: no grad -> no logsumexp output needed
-    out, _ = _flash_fwd(q, k, v, n_valid, block_q, block_k, with_lse=False)
+    if q.shape[-1] < 128:
+        out, _ = _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k, with_lse=False)
+    else:
+        out, _ = _flash_fwd(q, k, v, n_valid, block_q, block_k, with_lse=False)
     return out
 
 
 def _flash_vjp_fwd(q, k, v, n_valid, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, n_valid, block_q, block_k)
+    if q.shape[-1] < 128:
+        out, lse = _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k)
+    else:
+        out, lse = _flash_fwd(q, k, v, n_valid, block_q, block_k)
     return out, (q, k, v, out, lse, n_valid)
 
 
@@ -412,6 +586,10 @@ def attention(
         # measured on v5e at N~18k: D=128 runs 90 TFLOP/s with 1024-wide KV
         # blocks vs 85 at 2048 (and the working set doubles with D)
         block_k = min(block_k, 1024)
+    else:
+        # transposed lagged-max kernel (head_dim < 128): best measured at
+        # 2048x1024 (84 TF/s at CogVideoX geometry vs 62 classic)
+        block_q, block_k = 2048, 1024
     bq = min(block_q, _round_up(Nq, 128))
     bk = min(block_k, _round_up(Nk, 128))
     # short sequences: arrays pad to a block multiple, so a 1024-wide block
