@@ -39,6 +39,35 @@ class TestFlashAttention:
         want = mha_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    def test_lagged_max_fallback_on_extreme_logits(self):
+        """A pathological block-to-block logit jump (beyond the lag clamp)
+        must trigger the lax.cond fallback to the classic exact kernel."""
+        key = jax.random.PRNGKey(7)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 300, 64))
+        k = jax.random.normal(kk, (1, 2, 300, 64))
+        v = jax.random.normal(kv, (1, 2, 300, 64))
+        # plant a huge key in the LAST kv block: the lagged frame from block 0
+        # underestimates the max by far more than the clamp
+        k = k.at[:, :, -1, :].set(40.0)
+        got = attention(q, k, v, impl="flash", block_q=128, block_k=128)
+        want = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_int8_qk_close_to_reference(self):
+        """SageAttention-style int8 QK^T: near-exact (inference mode)."""
+        key = jax.random.PRNGKey(8)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 4, 300, 64))
+        k = jax.random.normal(kk, (1, 4, 300, 64)) + 0.5  # nonzero mean: tests centering
+        v = jax.random.normal(kv, (1, 4, 300, 64))
+        got = np.asarray(attention(q, k, v, impl="flash_int8", block_q=128, block_k=128))
+        want = np.asarray(mha_reference(q, k, v))
+        cos = np.sum(got * want) / np.sqrt(np.sum(got * got) * np.sum(want * want))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert cos > 0.999, cos
+        assert rel < 0.02, rel
+
     def test_gradients_match_reference(self):
         key = jax.random.PRNGKey(2)
         kq, kk, kv = jax.random.split(key, 3)

@@ -358,6 +358,137 @@ def _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k, with_lse=True):
 
 
 # ---------------------------------------------------------------------------
+# int8 QK^T variant (SageAttention-style, inference-only)
+# ---------------------------------------------------------------------------
+#
+# The 64-deep QK^T contraction caps the bf16 MXU at ~66 TF/s; the v5e int8
+# MXU runs the same contraction at ~2x. Following SageAttention
+# (arXiv 2410.02367, validated end-to-end lossless on CogVideoX): K is
+# mean-centered over the sequence (an exact transform — subtracting a
+# per-(b,h,d) constant shifts every score in a q-row equally, and softmax is
+# shift-invariant), then q and k are quantized to int8 with per-row scales.
+# s = (q8 k8^T) * sq_row * sk_col in f32; softmax and PV stay bf16/f32.
+# Measured at CogVideoX geometry: 94.7 TF/s (vs 84 bf16-exact), cosine
+# 0.99998 / rel-L2 0.65% vs f32 attention. Inference-only: the custom_vjp
+# backward always uses the exact bf16 kernels.
+
+
+def _fwd_kernel_T8(qt_ref, sq_ref, k_ref, sk_ref, vt_ref, o_ref, jump_ref,
+                   acc, m_s, *, n_valid, block_k, head_dim):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    s_i = jax.lax.dot_general(
+        k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (BK, BQ), int32
+    s = s_i.astype(jnp.float32) * sk_ref[0][:, :1] * sq_ref[0][:1]
+    if n_valid % block_k != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) + j * block_k
+        s = s + jnp.where(row < n_valid, 0.0, _NEG_INF)
+    m_loc = jnp.max(s, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        p = jnp.exp2(s - m_loc)
+        acc[:] = jax.lax.dot_general(
+            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_s[0:1] = m_loc
+        m_s[1:2] = jnp.full_like(m_loc, _NEG_INF)
+
+    @pl.when(j > 0)
+    def _():
+        m_prev = m_s[0:1]
+        p = jnp.exp2(jnp.minimum(s - m_prev, _LAG_CLAMP))
+        pv = jax.lax.dot_general(
+            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_new = jnp.maximum(m_prev, m_loc)
+        acc[:] = (acc[:] + pv) * jnp.exp2(m_prev - m_new)
+        m_s[0:1] = m_new
+        m_s[1:2] = jnp.maximum(m_s[1:2], m_loc - m_prev)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
+        o_ref[0] = (acc[:head_dim] / l).T.astype(o_ref.dtype)
+        jump_ref[0] = jnp.broadcast_to(m_s[1:2], jump_ref.shape[1:])
+
+
+def _flash_int8(q, k, v, n_valid, block_q, block_k):
+    """int8-QK forward on padded (BH, N, D) operands; exact-bf16 fallback
+    when the lag clamp could have bound."""
+    BH, N, D = q.shape
+    Nk = k.shape[1]
+    scale = D ** -0.5
+
+    kf = k.astype(jnp.float32)
+    # mean over valid tokens only (padding rows are zero)
+    k_mean = jnp.sum(kf, axis=1, keepdims=True) / n_valid
+    kc = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, kf.shape, 1) < n_valid, kf - k_mean, 0.0
+    )
+    sk = jnp.max(jnp.abs(kc), axis=-1, keepdims=True) / 127.0 + 1e-12  # (BH, Nk, 1)
+    k8 = jnp.round(kc / sk).astype(jnp.int8)
+    qf = q.astype(jnp.float32) * (scale * _LOG2E)
+    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-12  # (BH, N, 1)
+    q8 = jnp.round(qf / sq).astype(jnp.int8)
+
+    qt8 = jnp.swapaxes(q8, 1, 2)  # (BH, D, N)
+    sq_t = jnp.broadcast_to(jnp.swapaxes(sq, 1, 2), (BH, 8, N))
+    sk_b = jnp.broadcast_to(sk, (BH, Nk, 8))
+    D_aug = _round_up(D + 1, 8)
+    vt = jnp.concatenate(
+        [
+            jnp.swapaxes(v, 1, 2),
+            jnp.ones((BH, 1, Nk), v.dtype),
+            jnp.zeros((BH, D_aug - D - 1, Nk), v.dtype),
+        ],
+        axis=1,
+    )
+
+    grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
+    kernel = functools.partial(
+        _fwd_kernel_T8, n_valid=n_valid, block_k=block_k, head_dim=D
+    )
+    out, jumps = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, 8), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, D_aug, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, _LSE_LANES, block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, _LSE_LANES, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((D_aug, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(qt8, sq_t, k8, sk_b, vt)
+
+    def exact(_):
+        o, _lse = _flash_fwd(q, k, v, n_valid, min(block_q, 1024), block_k, False)
+        return o
+
+    return jax.lax.cond(jnp.max(jumps) <= _LAG_CLAMP, lambda o: o, exact, out)
+
+
+# ---------------------------------------------------------------------------
 # Pallas backward
 # ---------------------------------------------------------------------------
 
@@ -586,9 +717,9 @@ def attention(
         # measured on v5e at N~18k: D=128 runs 90 TFLOP/s with 1024-wide KV
         # blocks vs 85 at 2048 (and the working set doubles with D)
         block_k = min(block_k, 1024)
-    else:
-        # transposed lagged-max kernel (head_dim < 128): best measured at
-        # 2048x1024 (84 TF/s at CogVideoX geometry vs 62 classic)
+    elif (block_q, block_k) == (1024, 2048):
+        # caller left the defaults: transposed lagged-max kernel (head_dim
+        # < 128) measures best at 2048x1024 (84 TF/s at CogVideoX geometry)
         block_q, block_k = 2048, 1024
     bq = min(block_q, _round_up(Nq, 128))
     bk = min(block_k, _round_up(Nk, 128))
@@ -611,5 +742,9 @@ def attention(
     kp = pad(k, Nk_p).reshape(B * H, Nk_p, D)
     vp = pad(v, Nk_p).reshape(B * H, Nk_p, D)
 
-    out = _flash(qp, kp, vp, Nk, bq, bk)
+    if impl == "flash_int8" and D < 128:
+        # inference-only quantized path (no vjp); see _flash_int8
+        out = _flash_int8(qp, kp, vp, Nk, bq, bk)
+    else:
+        out = _flash(qp, kp, vp, Nk, bq, bk)
     return out.reshape(B, H, Nq_p, D)[:, :, :Nq]
