@@ -136,30 +136,28 @@ def ring_attention_sharded(
     N is padded to a multiple of the seq-axis size automatically; padded
     keys are excluded via a rotating validity mask (exact softmax).
     """
-    from jax.experimental.shard_map import shard_map
-
     n_seq = mesh.shape[seq_axis]
     B, H, N, D = q.shape
     N_pad = _round_up(N, n_seq)
     spec = P(None, None, seq_axis, None)
     if N_pad == N:
-        fn = shard_map(
+        fn = jax.shard_map(
             functools.partial(ring_attention, axis_name=seq_axis, impl=impl),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_rep=False,
+            check_vma=False,
         )
         return fn(q, k, v)
 
     pad = ((0, 0), (0, 0), (0, N_pad - N), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     mask = jnp.arange(N_pad) < N
-    fn = shard_map(
+    fn = jax.shard_map(
         lambda q, k, v, m: ring_attention(
             q, k, v, axis_name=seq_axis, impl=impl, kv_mask=m
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec, P(seq_axis)),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(qp, kp, vp, mask)[:, :, :N]
