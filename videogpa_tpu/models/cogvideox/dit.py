@@ -61,9 +61,12 @@ def sincos_pos_embed_3d(
     xs = jnp.arange(w, dtype=jnp.float32) / spatial_scale
     gy = jnp.repeat(ys, w)
     gx = jnp.tile(xs, h)
+    # diffusers' MAE-inherited quirk: grid = np.meshgrid(grid_w, grid_h), so
+    # "emb_h" = get_1d(grid[0]) actually embeds the W coordinate — the first
+    # spatial half is the w-embedding (verified in test_cogvideox_parity)
     spatial = jnp.concatenate(
-        [_sincos_1d(dim_s // 2, gy), _sincos_1d(dim_s // 2, gx)], axis=1
-    )  # (H*W, dim_s) -- order (h-emb, w-emb)
+        [_sincos_1d(dim_s // 2, gx), _sincos_1d(dim_s // 2, gy)], axis=1
+    )  # (H*W, dim_s) -- order (w-emb, h-emb)
     ts = jnp.arange(t, dtype=jnp.float32) / temporal_scale
     temporal = _sincos_1d(dim_t, ts)  # (T, dim_t)
     spatial = jnp.tile(spatial[None], (t, 1, 1))

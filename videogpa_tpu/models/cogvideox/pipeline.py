@@ -64,7 +64,8 @@ def denoise_loop(
     n = settings.num_inference_steps
     prev_ts = jnp.concatenate([ts[1:], jnp.array([-1])])
 
-    latents = jax.random.normal(key, latent_shape, jnp.float32)
+    k_init, k_steps = jax.random.split(key)
+    latents = jax.random.normal(k_init, latent_shape, jnp.float32)
     embeds = jnp.concatenate([negative_embeds, text_embeds], axis=0)
 
     def dit_step(lat, t):
@@ -83,8 +84,11 @@ def denoise_loop(
         v_uncond, v_text = jnp.split(v, 2, axis=0)
         return v_uncond, v_text
 
+    # ts[i-1] (the previous, larger timestep) feeds the 2nd-order correction
+    back_ts = jnp.concatenate([jnp.array([0]), ts[:-1]])
+
     def body(i, carry):
-        lat, old_x0, old_lam = carry
+        lat, old_x0 = carry
         t = ts[i]
         t_prev = prev_ts[i]
         v_uncond, v_text = dit_step(lat, t)
@@ -98,17 +102,22 @@ def denoise_loop(
 
         if settings.sampler == "ddim":
             new_lat = scheduler.ddim_step(v, t, t_prev, lat)
-            new_x0, new_lam = old_x0, old_lam
+            new_x0 = old_x0
         else:
-            use_old = i > 0
-            prev1, x0, lam = scheduler.dpm_step(v, t, t_prev, lat, None, None)
-            prev2, _, _ = scheduler.dpm_step(v, t, t_prev, lat, old_x0, old_lam)
-            new_lat = jnp.where(use_old, prev2, prev1)
-            new_x0, new_lam = x0, lam
-        return new_lat, new_x0, new_lam
+            # diffusers CogVideoXDPMScheduler: SDE step with fresh noise;
+            # 2nd-order correction except on the first and final steps
+            noise = jax.random.normal(
+                jax.random.fold_in(k_steps, i), lat.shape, lat.dtype
+            )
+            prev1, prev2, x0 = scheduler.dpm_step(
+                v, t, t_prev, lat, noise, old_x0=old_x0, timestep_back=back_ts[i]
+            )
+            new_lat = jnp.where((i > 0) & (t_prev >= 0), prev2, prev1)
+            new_x0 = x0
+        return new_lat, new_x0
 
-    init = (latents, jnp.zeros_like(latents), jnp.array(0.0))
-    latents, _, _ = jax.lax.fori_loop(0, n, body, init)
+    init = (latents, jnp.zeros_like(latents))
+    latents, _ = jax.lax.fori_loop(0, n, body, init)
     return latents
 
 

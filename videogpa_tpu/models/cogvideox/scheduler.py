@@ -153,13 +153,21 @@ class CogVideoXScheduler:
         timestep: int,
         prev_timestep: int,
         sample: jax.Array,
+        noise: jax.Array,
         old_x0: Optional[jax.Array] = None,
-        old_lambda: Optional[jax.Array] = None,
+        timestep_back: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """DPM-Solver++(2M) multistep update on x0-prediction.
+        """diffusers ``CogVideoXDPMScheduler.step`` (SDE DPM-Solver++ 2M).
 
-        Returns (prev_sample, pred_x0, lambda_t) — thread pred_x0/lambda_t
-        back in as old_x0/old_lambda on the next call (first call: None).
+        The reference sampler is STOCHASTIC: each step mixes in fresh noise
+        with ``mult_noise = sigma_prev * sqrt(1 - e^{-2h})`` and applies a
+        second-order correction from the previous step's pred_x0 when
+        available (``timestep_back`` = the previous, larger timestep).
+
+        Returns (prev_first_order, prev_second_order, pred_x0); callers
+        select the 2nd-order result when old_x0 was real and
+        prev_timestep >= 0 (diffusers falls back to 1st order on the first
+        and final steps).
         """
         ac_t = self.alphas_cumprod[timestep]
         ac_prev = jnp.where(
@@ -169,20 +177,44 @@ class CogVideoXScheduler:
         )
         x0, _ = self._pred_x0_eps(sample, model_output, ac_t)
 
-        alpha_t, sigma_t = jnp.sqrt(ac_t), jnp.sqrt(1 - ac_t)
-        alpha_s, sigma_s = jnp.sqrt(ac_prev), jnp.sqrt(jnp.maximum(1 - ac_prev, 1e-12))
-        lam_t = jnp.log(jnp.maximum(alpha_t, 1e-12)) - jnp.log(jnp.maximum(sigma_t, 1e-12))
-        lam_s = jnp.log(jnp.maximum(alpha_s, 1e-12)) - jnp.log(sigma_s)
+        # lamb = log(sqrt(ac / (1 - ac))). The alphas are floored before the
+        # log: with zero-terminal SNR, ac[999] == 0 exactly and the true
+        # lambda is -inf; under lax.while_loop XLA:TPU can fuse the selecting
+        # jnp.where into masked arithmetic where the unselected branch's
+        # inf/inf NaN leaks through (0 * nan = nan). The floor makes every
+        # intermediate finite and differs from the inf limit by ~1e-10.
+        def lam(ac):
+            ac = jnp.clip(ac, 1e-20, 1.0 - 1e-12)
+            return 0.5 * jnp.log(ac / (1 - ac))
+
+        lam_t = lam(ac_t)
+        lam_s = lam(ac_prev)
         h = lam_s - lam_t
 
+        mult1 = jnp.sqrt((1 - ac_prev) / jnp.maximum(1 - ac_t, 1e-12)) * jnp.exp(-h)
+        mult2 = jnp.expm1(-2 * h) * jnp.sqrt(ac_prev)
+        mult_noise = jnp.sqrt(1 - ac_prev) * jnp.sqrt(
+            jnp.maximum(1 - jnp.exp(-2 * h), 0.0)
+        )
+
+        prev1 = mult1 * sample - mult2 * x0 + mult_noise * noise
+
         if old_x0 is None:
-            d = x0
-        else:
-            r = (lam_t - old_lambda) / jnp.maximum(h, 1e-12)
-            d = (1 + 1 / (2 * jnp.maximum(r, 1e-12))) * x0 - (
-                1 / (2 * jnp.maximum(r, 1e-12))
-            ) * old_x0
-        prev = (sigma_s / jnp.maximum(sigma_t, 1e-12)) * sample - alpha_s * jnp.expm1(
-            -h
-        ) * d
-        return prev, x0, lam_t
+            return prev1, prev1, x0
+        # r = h_last / h with h_last = lam_t - lam_back
+        ac_back = self.alphas_cumprod[
+            jnp.maximum(timestep_back, 0) if timestep_back is not None else 0
+        ]
+        lam_back = lam(ac_back)
+        r = (lam_t - lam_back) / jnp.where(h == 0, 1e-12, h)
+        mult3 = 1 + 1 / (2 * jnp.where(r == 0, 1e-12, r))
+        mult4 = 1 / (2 * jnp.where(r == 0, 1e-12, r))
+        # ac_back == 0 (the zero-terminal-SNR t=999 as timestep_back): the
+        # true lam_back is -inf => r = inf => the reference's 2nd-order
+        # correction degenerates to 1st order (mult3, mult4) = (1, 0)
+        back_degenerate = ac_back <= 1e-19
+        mult3 = jnp.where(back_degenerate, 1.0, mult3)
+        mult4 = jnp.where(back_degenerate, 0.0, mult4)
+        denoised_d = mult3 * x0 - mult4 * old_x0
+        prev2 = mult1 * sample - mult2 * denoised_d + mult_noise * noise
+        return prev1, prev2, x0

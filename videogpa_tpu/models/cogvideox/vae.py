@@ -308,7 +308,6 @@ def vae_decode(params: dict, latents: jax.Array, cfg: CogVideoXConfig) -> jax.Ar
         z = latents / cfg.vae_scaling_factor
     dec = params["decoder"]
     t_levels = int(math.log2(cfg.temporal_compression_ratio))
-    n_up = len(dec["up"])
     h = causal_conv3d(dec["conv_in"], z)
     for rp in dec["mid"]["resnets"]:
         h = _resnet(rp, h, z)
@@ -316,7 +315,10 @@ def vae_decode(params: dict, latents: jax.Array, cfg: CogVideoXConfig) -> jax.Ar
         for rp in block["resnets"]:
             h = _resnet(rp, h, z)
         if "upsample" in block:
-            h = _upsample(block["upsample"], h, compress_time=i >= n_up - 1 - t_levels)
+            # diffusers upsamples time at the DEEP up blocks (i < levels),
+            # mirroring the encoder's shallow-block downsampling — verified
+            # against the torch oracle in test_cogvideox_vae_parity.py
+            h = _upsample(block["upsample"], h, compress_time=i < t_levels)
     h = jax.nn.silu(spatial_norm(dec["norm_out"], h, z))
     return causal_conv3d(dec["conv_out"], h)
 
