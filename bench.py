@@ -136,6 +136,94 @@ def bench_wan():
     return 3 / (time.perf_counter() - t0)
 
 
+def bench_overlap():
+    """Generate+score combined throughput: overlapped vs sequential.
+
+    The BASELINE.md north star collapses replicate.sh's two-phase structure
+    (generate all clips, then score all clips, reference replicate.sh:73-103)
+    into one stream: reward scoring is dispatched while the next clip's
+    denoising runs. Sampler and scorer are separate jitted programs; on one
+    chip the overlap win comes from pipelining host->device frame transfers
+    (~50 MB/s tunnel here, 32 MB per 10-frame clip) and dispatch gaps behind
+    DiT compute via async dispatch. On a pod the same structure schedules the
+    two programs on disjoint mesh slices.
+
+    Uses a CogVideoX-2B-scale DiT + full VGGT-1B (both resident in HBM).
+    Returns (sequential clips/min, overlapped clips/min).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_forward, dit_init
+    from videogpa_tpu.models.vggt import VGGTConfig, vggt_init
+    from videogpa_tpu.reward import VideoProcessor
+
+    cfg = CogVideoXConfig.cogvideox_2b()
+    dit = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    vcfg = VGGTConfig()
+    vp = VideoProcessor(
+        {"MSE": None}, params=vggt_init(jax.random.PRNGKey(1), vcfg), config=vcfg
+    )
+    scorer = vp._device_fn(0.0)
+
+    B, F = 2, 13
+    txt = jax.random.normal(jax.random.PRNGKey(2), (B, 226, 4096), jnp.bfloat16)
+    t = jnp.full((B,), 500)
+    steps_per_clip = 3
+
+    denoise = jax.jit(
+        lambda p, x: dit_forward(p, x, txt, t, cfg).astype(jnp.bfloat16)[
+            :, :, : cfg.in_channels
+        ]
+    )
+    rng = np.random.default_rng(0)
+    n_clips = 4
+    frames_host = [
+        (rng.standard_normal((10, 3, 518, 518)) * 0.2 + 0.5).astype(np.float32)
+        for _ in range(n_clips)
+    ]
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (B, F, cfg.in_channels, 60, 90), jnp.bfloat16)
+
+    def run_clip_compute(x):
+        for _ in range(steps_per_clip):
+            x = denoise(dit, x)
+        return x
+
+    # warm up both programs (compile)
+    jax.block_until_ready(run_clip_compute(x0))
+    warm = scorer(vp.params, jax.device_put(jnp.asarray(frames_host[0])))
+    float(np.asarray(jnp.sum(warm["reprojected"])))
+
+    def reward_sum(out):
+        return float(np.asarray(jnp.sum(out["reprojected"])))
+
+    # sequential: full sync between every phase (upload -> score -> denoise)
+    t0 = time.perf_counter()
+    for i in range(n_clips):
+        x = jax.block_until_ready(run_clip_compute(x0))
+        dev = jax.block_until_ready(jax.device_put(jnp.asarray(frames_host[i])))
+        out = scorer(vp.params, dev)
+        reward_sum(out)
+    dt_seq = time.perf_counter() - t0
+
+    # overlapped: async dispatch; frame upload and scorer dispatch ride
+    # behind the next clip's denoise compute; one sync at the end
+    t0 = time.perf_counter()
+    outs = []
+    dev = jax.device_put(jnp.asarray(frames_host[0]))
+    for i in range(n_clips):
+        x = run_clip_compute(x0)  # queued, not synced
+        outs.append(scorer(vp.params, dev))
+        if i + 1 < n_clips:
+            dev = jax.device_put(jnp.asarray(frames_host[i + 1]))
+    for out in outs:
+        reward_sum(out)
+    jax.block_until_ready(x)
+    dt_ovl = time.perf_counter() - t0
+
+    return n_clips * 60.0 / dt_seq, n_clips * 60.0 / dt_ovl
+
+
 def main():
     steps_per_sec, dt = bench_denoise()
     result = {
@@ -157,6 +245,11 @@ def main():
         single, batched = bench_reward()
         result["reward_clips_per_min"] = round(single, 2)
         result["reward_clips_per_min_batched"] = round(batched, 2)
+    if os.environ.get("VIDEOGPA_BENCH_OVERLAP") == "1":
+        seq, ovl = bench_overlap()
+        result["genscore_clips_per_min_sequential"] = round(seq, 2)
+        result["genscore_clips_per_min_overlapped"] = round(ovl, 2)
+        result["overlap_speedup"] = round(ovl / seq, 3)
     print(json.dumps(result))
 
 
