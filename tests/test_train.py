@@ -222,6 +222,49 @@ class TestTrainStep:
         ev = eval_step(state, batch, jax.random.PRNGKey(42))
         assert np.isfinite(float(ev["loss"]))
 
+    def test_seq_parallel_ring_step_matches_xla(self):
+        """One DPO train step with attn_impl='ring' on a seq-axis mesh: the
+        ring is exact, so loss/grads must match the single-device xla step."""
+        from videogpa_tpu.parallel import MeshAxes, make_mesh
+
+        cfg = CogVideoXConfig.tiny()
+        base = dit_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        B, C, F, H, W = 1, cfg.in_channels, cfg.sample_frames, cfg.sample_height, cfg.sample_width
+        batch = {
+            "x_win": jnp.asarray(rng.standard_normal((B, C, F, H, W)), jnp.float32),
+            "x_lose": jnp.asarray(rng.standard_normal((B, C, F, H, W)), jnp.float32),
+            "prompt_emb": jnp.asarray(
+                rng.standard_normal((B, cfg.max_text_seq_length, cfg.text_embed_dim)),
+                jnp.float32,
+            ),
+        }
+
+        losses = {}
+        for impl, mesh_axes in (
+            ("xla", None),
+            ("ring", MeshAxes(data=1, seq=8, model=1)),
+        ):
+            tcfg = TrainerConfig(
+                learning_rate=1e-3, beta=1.0, warmup_steps=2, max_steps=20,
+                lora_rank=4, lora_alpha=8.0, compute_dtype=jnp.float32,
+                remat=False, attn_impl=impl,
+            )
+            # re-init per run: the train step donates its input state
+            lora = lora_init(
+                jax.random.PRNGKey(1), cfg.num_layers, cfg.hidden_dim, rank=4
+            )
+            state = init_train_state(lora, tcfg)
+            train_step, _ = make_dpo_train_step(base, cfg, tcfg)
+            if mesh_axes is None:
+                state, metrics = train_step(state, batch, jax.random.PRNGKey(7))
+            else:
+                with jax.set_mesh(make_mesh(mesh_axes)):
+                    state, metrics = train_step(state, batch, jax.random.PRNGKey(7))
+            losses[impl] = float(metrics["loss"])
+            assert np.isfinite(losses[impl])
+        np.testing.assert_allclose(losses["ring"], losses["xla"], rtol=5e-4)
+
 
 class TestCogVideoX15Trim:
     def test_odd_latents_trimmed_for_patch_size_t(self):

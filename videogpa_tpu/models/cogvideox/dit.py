@@ -213,8 +213,15 @@ def _joint_attention(
 
     if rope is not None:
         cos, sin = rope
-        q = q.at[:, :, N_txt:].set(apply_rope_interleaved(q[:, :, N_txt:], cos, sin))
-        k = k.at[:, :, N_txt:].set(apply_rope_interleaved(k[:, :, N_txt:], cos, sin))
+        # concatenate, NOT at[].set(): the dynamic-update-slice form is
+        # miscompiled by the SPMD partitioner under a sharded mesh (silently
+        # wrong values, reproduced on the CPU mesh in tests/test_parallel.py)
+        q = jnp.concatenate(
+            [q[:, :, :N_txt], apply_rope_interleaved(q[:, :, N_txt:], cos, sin)], axis=2
+        )
+        k = jnp.concatenate(
+            [k[:, :, :N_txt], apply_rope_interleaved(k[:, :, N_txt:], cos, sin)], axis=2
+        )
 
     o = attention(q, k, v, impl=attn_impl)
     o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, N_txt + N_img, C)

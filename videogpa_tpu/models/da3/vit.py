@@ -173,7 +173,10 @@ def aavit_forward(
         )
     else:
         cam = cam_token.astype(x.dtype)
-    x = x.at[:, :, 0].set(cam)
+    # concatenate, not at[].set(): the dynamic-update-slice form can be
+    # miscompiled by the SPMD partitioner under a sharded mesh (see
+    # tests/test_parallel.py / cogvideox dit rope)
+    x = jnp.concatenate([cam[:, :, None], x[:, :, 1:]], axis=2)
 
     # phase 2: alternating local/global with qk-norm + rope
     alt_cfg = _alt_cfg(cfg)

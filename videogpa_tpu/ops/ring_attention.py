@@ -8,8 +8,11 @@ the ring with ``lax.ppermute`` — attention FLOPs and memory scale 1/P per
 chip while the rotation rides the ICI.
 
 Use inside ``shard_map`` (see ``ring_attention_sharded`` for the wrapper).
-Forward-only for now (sampling / scoring); the training path uses the
-single-chip Pallas flash kernel.
+Differentiable: a custom VJP recomputes per-shard probabilities from the
+saved logsumexp and runs a second ring in the backward pass — dq accumulates
+on the home device while the (k, v, dk, dv) quadruple rotates, so dk/dv
+partials arrive back at their shard's home after P hops (seq-parallel DPO
+training uses this through ``attn_impl="ring"``).
 """
 
 from __future__ import annotations
@@ -76,6 +79,141 @@ def _merge(o, lse, o_i, lse_i):
     return o, new_lse
 
 
+def _ring_perm(axis_name):
+    n_dev = jax.lax.axis_size(axis_name)
+    return n_dev, [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+
+def _ring_forward(axis_name, impl, use_mask, q, k, v, mask):
+    """Ring forward; returns (o, lse). mask: f32 (N/P,) key validity."""
+    attn = _attn_with_lse_flash if impl == "flash" else _attn_with_lse_xla
+    n_dev, perm = _ring_perm(axis_name)
+
+    o = jnp.zeros(q.shape, q.dtype)
+    lse = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
+
+    def body(i, carry):
+        o, lse, k_cur, v_cur, m_cur = carry
+        if use_mask:
+            o_i, lse_i = attn(q, k_cur, v_cur, kv_mask=m_cur > 0)
+        else:
+            o_i, lse_i = attn(q, k_cur, v_cur)
+        o, lse = _merge(o, lse, o_i, lse_i)
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        if use_mask:
+            m_cur = jax.lax.ppermute(m_cur, axis_name, perm)
+        return o, lse, k_cur, v_cur, m_cur
+
+    o, lse, _, _, _ = jax.lax.fori_loop(0, n_dev, body, (o, lse, k, v, mask))
+    return o, lse
+
+
+def _bwd_step_xla(q, k_cur, v_cur, m_cur, g, lse, delta, use_mask):
+    """One backward ring step: (dq_i, dk_i, dv_i) vs the resident kv shard.
+
+    p is recomputed from the GLOBAL logsumexp, so each shard's contribution
+    is already correctly normalized (standard flash backward recurrence)."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_cur, preferred_element_type=jnp.float32
+    ) * scale
+    if use_mask:
+        s = jnp.where(m_cur[None, None, None, :] > 0, s, -jnp.inf)
+    p = jnp.exp(s - lse[..., None])  # masked keys: exp(-inf) = 0
+    pb = p.astype(g.dtype)
+    dv_i = jnp.einsum("bhqk,bhqd->bhkd", pb, g, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v_cur, preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta[..., None])).astype(q.dtype)
+    dq_i = scale * jnp.einsum(
+        "bhqk,bhkd->bhqd", ds, k_cur, preferred_element_type=jnp.float32
+    )
+    dk_i = scale * jnp.einsum(
+        "bhqk,bhqd->bhkd", ds, q, preferred_element_type=jnp.float32
+    )
+    return dq_i, dk_i.astype(jnp.float32), dv_i
+
+
+def _bwd_step_flash(q, k_cur, v_cur, g, o, lse):
+    """Pallas flash backward for one (q-shard x kv-shard) pair."""
+    from videogpa_tpu.ops.attention import _LSE_LANES, _flash_bwd
+
+    B, H, Nq, D = q.shape
+    Nk = k_cur.shape[2]
+    bq = min(1024, _round_up(Nq, 128))
+    bk = min(1024, _round_up(Nk, 128))
+
+    def flat(x):
+        return x.reshape(B * H, x.shape[2], -1)
+
+    lse_l = jnp.broadcast_to(lse[..., None], lse.shape + (_LSE_LANES,))
+    res = (flat(q), flat(k_cur), flat(v_cur), flat(o), flat(lse_l), Nk)
+    dq, dk, dv = _flash_bwd(res, flat(g), bq, bk)
+    shape_q, shape_k = q.shape, k_cur.shape
+    return (
+        dq.reshape(shape_q),
+        dk.reshape(shape_k).astype(jnp.float32),
+        dv.reshape(shape_k).astype(jnp.float32),
+    )
+
+
+def _ring_backward(axis_name, impl, use_mask, res, g):
+    q, k, v, mask, o, lse = res
+    n_dev, perm = _ring_perm(axis_name)
+    delta = jnp.sum(
+        o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1
+    )  # (B, H, N/P)
+
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+
+    def body(i, carry):
+        dq, k_cur, v_cur, dk, dv, m_cur = carry
+        if impl == "flash" and not use_mask:
+            dq_i, dk_i, dv_i = _bwd_step_flash(q, k_cur, v_cur, g, o, lse)
+        else:
+            dq_i, dk_i, dv_i = _bwd_step_xla(
+                q, k_cur, v_cur, m_cur, g, lse, delta, use_mask
+            )
+        dq = dq + dq_i.astype(jnp.float32)
+        dk = dk + dk_i
+        dv = dv + dv_i
+        # the kv shard AND its grad accumulators rotate together: after
+        # n_dev hops the accumulated dk/dv land back on the shard's home
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        dk = jax.lax.ppermute(dk, axis_name, perm)
+        dv = jax.lax.ppermute(dv, axis_name, perm)
+        if use_mask:
+            m_cur = jax.lax.ppermute(m_cur, axis_name, perm)
+        return dq, k_cur, v_cur, dk, dv, m_cur
+
+    dq, _, _, dk, dv, _ = jax.lax.fori_loop(
+        0, n_dev, body, (dq0, k, v, dk0, dv0, mask)
+    )
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ring(axis_name, impl, use_mask, q, k, v, mask):
+    o, _ = _ring_forward(axis_name, impl, use_mask, q, k, v, mask)
+    return o
+
+
+def _ring_vjp_fwd(axis_name, impl, use_mask, q, k, v, mask):
+    o, lse = _ring_forward(axis_name, impl, use_mask, q, k, v, mask)
+    return o, (q, k, v, mask, o, lse)
+
+
+_ring.defvjp(_ring_vjp_fwd, _ring_backward)
+
+
 def ring_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
     impl: str = "auto", kv_mask: jax.Array = None,
@@ -97,30 +235,15 @@ def ring_attention(
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if kv_mask is not None:
         impl = "xla"
-    attn = _attn_with_lse_flash if impl == "flash" else _attn_with_lse_xla
-
-    n_dev = jax.lax.axis_size(axis_name)
-    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
-
-    o = jnp.zeros(q.shape, q.dtype)
-    lse = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
-
-    def body(i, carry):
-        o, lse, k_cur, v_cur, m_cur = carry
-        if kv_mask is None:
-            o_i, lse_i = attn(q, k_cur, v_cur)
-        else:
-            o_i, lse_i = attn(q, k_cur, v_cur, kv_mask=m_cur)
-        o, lse = _merge(o, lse, o_i, lse_i)
-        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-        if kv_mask is not None:
-            m_cur = jax.lax.ppermute(m_cur, axis_name, perm)
-        return o, lse, k_cur, v_cur, m_cur
-
-    m0 = kv_mask if kv_mask is not None else jnp.zeros((0,), bool)
-    o, lse, _, _, _ = jax.lax.fori_loop(0, n_dev, body, (o, lse, k, v, m0))
-    return o
+    use_mask = kv_mask is not None
+    # the dummy must be full-shaped: shard_map infers residual shardings per
+    # rank, and a 0-sized stand-in picks up a bogus all-axes spec
+    mask = (
+        kv_mask.astype(jnp.float32)
+        if use_mask
+        else jnp.ones((k.shape[2],), jnp.float32)
+    )
+    return _ring(axis_name, impl, use_mask, q, k, v, mask)
 
 
 def ring_attention_sharded(

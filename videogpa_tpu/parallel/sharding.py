@@ -43,6 +43,59 @@ def dit_param_specs(params: Any) -> Any:
     return _spec_like(params, spec)
 
 
+def wan_param_specs(params: Any) -> Any:
+    """PartitionSpec tree for the Wan2.2 DiT (stacked-blocks layout).
+
+    Megatron pattern over the ``model`` axis: self/cross-attention q/k/v and
+    ffn fc1 column-parallel, o / fc2 row-parallel; norms, modulation tables
+    and embeddings replicated."""
+
+    def spec(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        name = "/".join(str(k) for k in keys)
+        nd = leaf.ndim
+        if "blocks" in name:
+            col = any(t in name for t in ("/q/", "/k/", "/v/")) or "fc1" in name
+            row = name.endswith(("o/kernel",)) or "fc2" in name
+            if col:
+                if name.endswith("kernel") and nd == 3:
+                    return P(None, None, MODEL_AXIS)
+                if name.endswith("bias") and nd == 2:
+                    return P(None, MODEL_AXIS)
+            if row and name.endswith("kernel") and nd == 3:
+                return P(None, MODEL_AXIS, None)
+        return P()
+
+    return _spec_like(params, spec)
+
+
+def vit_param_specs(params: Any) -> Any:
+    """PartitionSpec tree for stacked ViT blocks (VGGT aggregator frame/global
+    blocks, DA3 AA-ViT blocks_pre/blocks_alt, DINOv2): fused qkv and mlp fc1
+    column-parallel over ``model``, attention proj and fc2 row-parallel.
+
+    This makes the ``model`` mesh axis live for the scoring path too —
+    VGGT-1B / DA3-Giant shard across chips for batched reward scoring."""
+
+    def spec(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        name = "/".join(str(k) for k in keys)
+        nd = leaf.ndim
+        if "blocks" in name:
+            col = "attn/qkv" in name or "mlp/fc1" in name
+            row = "attn/proj" in name or "mlp/fc2" in name
+            if col:
+                if name.endswith("kernel") and nd == 3:
+                    return P(None, None, MODEL_AXIS)
+                if name.endswith("bias") and nd == 2:
+                    return P(None, MODEL_AXIS)
+            if row and name.endswith("kernel") and nd == 3:
+                return P(None, MODEL_AXIS, None)
+        return P()
+
+    return _spec_like(params, spec)
+
+
 def lora_param_specs(lora: Any) -> Any:
     """LoRA trees are small: replicate (grads all-reduce over data axis)."""
     return jax.tree_util.tree_map(lambda _: P(), lora)
