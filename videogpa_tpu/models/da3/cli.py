@@ -44,7 +44,9 @@ def _run(frames, model_dir: str, export_format: str, out_dir: str):
 
     params, cfg = _load_model(model_dir)
     frames = np.stack([_pad14(f) for f in frames])
-    pred = da3_inference(params, frames, cfg)
+    pred = da3_inference(
+        params, frames, cfg, return_features=export_format == "feat_vis"
+    )
     path = export(pred, export_format, out_dir)
     print(f"exported {export_format} -> {path}")
     return pred
@@ -101,6 +103,76 @@ def cmd_backend(args):
     serve(model_dir=args.model_dir, host=args.host, port=args.port)
 
 
+def cmd_colmap(args):
+    """Pose-aligned inference on a COLMAP project (reference cli.py:471)."""
+    import numpy as np
+
+    from videogpa_tpu.models.da3.colmap_io import load_colmap_scene
+    from videogpa_tpu.models.da3.export import export
+    from videogpa_tpu.models.da3.model import da3_inference
+
+    files, extrinsics, _intrinsics = load_colmap_scene(
+        args.input, args.sparse_subdir
+    )
+    frames = np.stack([_pad14(f) for f in _read_images(files)])
+    params, cfg = _load_model(args.model_dir)
+    if args.ref_view_strategy:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, ref_view_strategy=args.ref_view_strategy)
+    pred = da3_inference(
+        params, frames, cfg,
+        gt_extrinsics=extrinsics[:, :3],
+        return_features=args.export_format == "feat_vis",
+    )
+    path = export(pred, args.export_format, args.out_dir)
+    print(f"exported {args.export_format} -> {path}")
+    return pred
+
+
+def cmd_gallery(args):
+    """Static HTML gallery over an export directory (stdlib substitute for
+    the reference's gradio/FastAPI gallery, cli.py:766)."""
+    import html
+
+    root = args.input
+    rows = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        rel = os.path.relpath(dirpath, root)
+        arts = sorted(
+            f for f in filenames
+            if os.path.splitext(f)[1].lower()
+            in {".png", ".jpg", ".glb", ".ply", ".npz", ".mp4"}
+        )
+        if arts:
+            rows.append((rel, arts))
+    items = []
+    for rel, arts in rows:
+        links = []
+        for f in arts:
+            href = html.escape(os.path.join(rel, f))
+            if os.path.splitext(f)[1].lower() in {".png", ".jpg"}:
+                links.append(
+                    f'<a href="{href}"><img src="{href}" '
+                    f'style="max-height:160px;margin:4px"/></a>'
+                )
+            else:
+                links.append(f'<a href="{href}">{html.escape(f)}</a>')
+        items.append(
+            f"<section><h3>{html.escape(rel)}</h3>{' '.join(links)}</section>"
+        )
+    page = (
+        "<!doctype html><meta charset='utf-8'><title>DA3 gallery</title>"
+        "<body style='font-family:sans-serif;max-width:1000px;margin:auto'>"
+        f"<h1>DA3 exports: {html.escape(root)}</h1>" + "\n".join(items) + "</body>"
+    )
+    out = os.path.join(root, "gallery.html")
+    with open(out, "w") as f:
+        f.write(page)
+    print(f"gallery -> {out} ({len(rows)} scene dirs)")
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="da3", description="Depth Anything 3 (TPU)")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -108,7 +180,8 @@ def main(argv=None):
     def common(p):
         p.add_argument("--model_dir", default=None)
         p.add_argument("--export_format", default="glb",
-                       choices=["glb", "npz", "mini_npz", "ply", "colmap", "depth_vis"])
+                       choices=["glb", "npz", "mini_npz", "ply", "colmap",
+                                "depth_vis", "feat_vis"])
         p.add_argument("--out_dir", default="da3_out")
 
     for name, fn in [("auto", cmd_auto), ("image", cmd_image),
@@ -126,6 +199,20 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_backend)
+
+    p = sub.add_parser("colmap", help="pose-aligned inference on a COLMAP project")
+    p.add_argument("input", help="dir with images/ and sparse/ subdirs")
+    common(p)
+    p.add_argument("--sparse_subdir", default="")
+    p.add_argument(
+        "--ref_view_strategy", default="",
+        help="first | middle | saddle_balanced | saddle_sim_range",
+    )
+    p.set_defaults(fn=cmd_colmap)
+
+    p = sub.add_parser("gallery", help="write a static HTML gallery of exports")
+    p.add_argument("input", help="export root directory")
+    p.set_defaults(fn=cmd_gallery)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -24,6 +24,9 @@ class DA3Config:
     out_layers: Tuple[int, ...] = (11, 15, 19, 23)
     rope_base: float = 100.0
     ref_view_threshold: int = 3  # S >= 3 triggers reference-view selection
+    # first | middle | saddle_balanced | saddle_sim_range
+    # (reference model/reference_view_selector.py:29-110)
+    ref_view_strategy: str = "saddle_balanced"
 
     # DualDPT
     dpt_features: int = 256

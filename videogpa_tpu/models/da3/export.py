@@ -141,6 +141,45 @@ def export_glb(prediction, out_dir: str, max_points: int = 500_000, **_) -> str:
     return path
 
 
+@register("feat_vis")
+def export_feat_vis(prediction, out_dir: str, **_) -> str:
+    """PCA feature visualization (reference ``utils/export`` feat_vis /
+    ``pca_utils.py``): project backbone patch tokens onto their top-3
+    principal components, normalize each channel to [0, 1] per sequence and
+    write one RGB PNG per view (upsampled to frame size) plus the raw PCA
+    maps as .npz. Needs ``da3_inference(..., return_features=True)``."""
+    if prediction.features is None:
+        raise ValueError(
+            "prediction has no features — run da3_inference with "
+            "return_features=True for feat_vis export"
+        )
+    d = os.path.join(out_dir, "feat_vis")
+    os.makedirs(d, exist_ok=True)
+    feats = prediction.features.astype(np.float32)  # (S, h, w, C)
+    S, h, w, C = feats.shape
+    flat = feats.reshape(-1, C)
+    flat = flat - flat.mean(axis=0, keepdims=True)
+    # top-3 principal directions over all views' tokens
+    _, _, vt = np.linalg.svd(flat, full_matrices=False)
+    proj = flat @ vt[:3].T  # (S*h*w, 3)
+    lo = np.percentile(proj, 1, axis=0)
+    hi = np.percentile(proj, 99, axis=0)
+    rgb = np.clip((proj - lo) / np.maximum(hi - lo, 1e-8), 0, 1)
+    rgb = rgb.reshape(S, h, w, 3)
+    np.savez_compressed(os.path.join(d, "feat_pca.npz"), pca=rgb)
+    try:
+        from PIL import Image
+
+        H, W = prediction.processed_images.shape[1:3]
+        for i in range(S):
+            img = Image.fromarray((rgb[i] * 255).astype(np.uint8))
+            img = img.resize((W, H), Image.NEAREST)
+            img.save(os.path.join(d, f"feat_{i:04d}.png"))
+    except ImportError:
+        pass  # npz alone is still a valid export
+    return d
+
+
 @register("colmap")
 def export_colmap(prediction, out_dir: str, **_) -> str:
     """COLMAP text model (cameras.txt / images.txt / points3D.txt)."""

@@ -50,6 +50,7 @@ def da3_forward(
     compute_dtype=jnp.float32,
     gt_extrinsics: Optional[jax.Array] = None,
     gt_intrinsics: Optional[jax.Array] = None,
+    return_features: bool = False,
 ) -> Dict[str, jax.Array]:
     """images: (B, S, 3, H, W), already ImageNet-normalized.
 
@@ -78,6 +79,10 @@ def da3_forward(
     out["extrinsics"] = affine_inverse(c2w)  # -> w2c (B, S, 3, 4)
     out["intrinsics"] = intr
     out["pose_enc"] = pose_enc
+    if return_features:
+        # last out-layer patch tokens, for feat_vis PCA export (reference
+        # utils/export feat_vis / pca_utils)
+        out["features"] = feats[-1][0]  # (B, S, P, 2C)
     return out
 
 
@@ -91,11 +96,12 @@ class DA3Prediction:
     intrinsics: np.ndarray  # (S, 3, 3)
     processed_images: np.ndarray  # (S, H, W, 3) uint8-scale
     gaussians: Optional[object] = None  # models.da3.gaussians.Gaussians
+    features: Optional[np.ndarray] = None  # (S, H/14, W/14, C) for feat_vis
 
 
 # module-level jit: eager dispatch costs ~100 ms/op on remote TPU backends
 # and a per-call jax.jit wrapper would recompile every call
-_da3_forward_j = jax.jit(da3_forward, static_argnums=(2, 3, 4))
+_da3_forward_j = jax.jit(da3_forward, static_argnums=(2, 3, 4, 7))
 
 
 def da3_inference(
@@ -105,6 +111,7 @@ def da3_inference(
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
     gt_extrinsics: Optional[np.ndarray] = None,
+    return_features: bool = False,
 ) -> DA3Prediction:
     """frames: (S, H, W, 3) uint8 RGB (pre-resized to /14-divisible).
 
@@ -118,7 +125,9 @@ def da3_inference(
     normed = (imgs - mean) / std
     x = jnp.asarray(normed.transpose(0, 3, 1, 2))[None]  # (1, S, 3, H, W)
 
-    out = _da3_forward_j(params, x, cfg, attn_impl, compute_dtype)
+    out = _da3_forward_j(
+        params, x, cfg, attn_impl, compute_dtype, None, None, return_features
+    )
     extr = np.asarray(out["extrinsics"][0])
     depth = np.asarray(out["depth"][0])
     if gt_extrinsics is not None:
@@ -130,10 +139,16 @@ def da3_inference(
         )
         extr = aligned[:, :3].astype(np.float32)
         depth = depth * scale  # metric scale follows the trajectory alignment
+    features = None
+    if return_features:
+        S, H, W = depth.shape
+        feats = np.asarray(out["features"][0])  # (S, P, C)
+        features = feats.reshape(S, H // 14, W // 14, feats.shape[-1])
     return DA3Prediction(
         depth=depth,
         conf=np.asarray(out["depth_conf"][0]),
         extrinsics=extr,
         intrinsics=np.asarray(out["intrinsics"][0]),
         processed_images=(imgs * 255.0).astype(np.float32),
+        features=features,
     )

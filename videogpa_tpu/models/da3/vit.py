@@ -80,13 +80,36 @@ def _interp_pos(pos_embed: jax.Array, hg: int, wg: int) -> jax.Array:
     return jnp.concatenate([cls_pe, pe], axis=1)
 
 
-def select_reference_view(x: jax.Array) -> jax.Array:
-    """saddle_balanced strategy over cls tokens. x: (B, S, P, C) -> (B,)."""
+def select_reference_view(
+    x: jax.Array, strategy: str = "saddle_balanced"
+) -> jax.Array:
+    """Reference-view selection over cls tokens; x: (B, S, P, C) -> (B,).
+
+    All four reference strategies
+    (``model/reference_view_selector.py:29-110``): ``first``, ``middle``,
+    ``saddle_balanced`` (view closest to the median of similarity / norm /
+    variance metrics) and ``saddle_sim_range`` (largest max-min similarity
+    range)."""
+    B, S = x.shape[:2]
+    if strategy == "first":
+        return jnp.zeros((B,), jnp.int32)
+    if strategy == "middle":
+        return jnp.full((B,), S // 2, jnp.int32)
+
     cls = x[:, :, 0].astype(jnp.float32)  # (B, S, C)
-    S = cls.shape[1]
     feat = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True)
     sim = jnp.einsum("bsc,btc->bst", feat, feat)
     sim = sim - jnp.eye(S)[None]
+
+    if strategy == "saddle_sim_range":
+        sim_range = sim.max(-1) - sim.min(-1)
+        return jnp.argmax(sim_range, axis=1)
+
+    if strategy != "saddle_balanced":
+        raise ValueError(
+            f"unknown ref_view_strategy {strategy!r}; expected one of "
+            "first, middle, saddle_balanced, saddle_sim_range"
+        )
     sim_score = sim.sum(-1) / (S - 1)
     feat_norm = jnp.linalg.norm(cls, axis=-1)
     feat_var = jnp.var(feat, axis=-1)
@@ -160,7 +183,7 @@ def aavit_forward(
     # reference-view selection + reorder (S >= threshold, no user cam token)
     perm = None
     if S >= cfg.ref_view_threshold and cam_token is None:
-        b_idx = select_reference_view(x)
+        b_idx = select_reference_view(x, cfg.ref_view_strategy)
         perm = _reorder_perm(b_idx, S)
         x = jnp.take_along_axis(x, perm[:, :, None, None], axis=1)
 
