@@ -142,7 +142,8 @@ def convert_wan_vae(
     omitted, latents stay un-normalized (mean 0 / std 1), which is wrong for
     real weights — callers load them alongside the state dict.
     """
-    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    if any(k.startswith("model.") for k in sd):
+        sd = {k.removeprefix("model."): v for k, v in sd.items()}
     n_scales = len(cfg.vae_dim_mult)
     nrb = cfg.vae_num_res_blocks
     z = cfg.vae_z_dim
