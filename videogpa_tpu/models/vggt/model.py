@@ -52,6 +52,7 @@ def vggt_forward(
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
     query_points=None,
+    track_kwargs: dict = None,
 ) -> Dict[str, jax.Array]:
     """Args:
         images: (B, S, 3, H, W) in [0, 1].
@@ -105,7 +106,8 @@ def vggt_forward(
         if query_points.ndim == 2:
             query_points = query_points[None]
         track_list, vis, conf = track_head_forward(
-            params["track_head"], layer_outputs, (H, W), query_points, hcfg
+            params["track_head"], layer_outputs, (H, W), query_points, hcfg,
+            **(track_kwargs or {}),
         )
         preds["track"] = track_list[-1]
         preds["vis"] = vis

@@ -381,13 +381,19 @@ def track_head_forward(
     query_points: jax.Array,
     cfg: VGGTConfig,
     iters: int = 4,
+    corr_levels: int = 7,
+    corr_radius: int = 4,
 ):
-    """Returns (coord_preds list of (B, S, N, 2), vis (B, S, N), conf)."""
+    """Returns (coord_preds list of (B, S, N, 2), vis (B, S, N), conf).
+
+    corr_levels/corr_radius must match the tracker params' corr pyramid
+    (the 1B defaults are 7/4; reduced trackers pass their own)."""
     fmaps = dpt_head_forward(
         params["feature_extractor"], layer_outputs, cfg, images_hw,
         feature_only=True, down_ratio=2, use_pos_embed=False,
     )
     return tracker_forward(
         params["tracker"], query_points, fmaps, iters=iters,
-        latent_dim=fmaps.shape[2],
+        latent_dim=fmaps.shape[2], corr_levels=corr_levels,
+        corr_radius=corr_radius,
     )
