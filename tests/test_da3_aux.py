@@ -293,3 +293,95 @@ class TestFeatVisAndGallery:
         main(["gallery", str(tmp_path)])
         page = (tmp_path / "gallery.html").read_text()
         assert "scene_a" in page and "depth.png" in page
+
+
+def _make_dtu64_fixture(root, n_views=3, hw=(28, 28)):
+    rng = np.random.default_rng(0)
+    (root / "scan1" / "image").mkdir(parents=True)
+    (root / "Cameras").mkdir()
+    for i in range(n_views):
+        _write_png(
+            root / "scan1" / "image" / f"{i:08d}.png",
+            rng.integers(0, 255, (*hw, 3), dtype=np.uint8),
+        )
+        E = np.eye(4); E[0, 3] = 0.05 * i
+        K = np.array([[30.0, 0, 14], [0, 30.0, 14], [0, 0, 1]])
+        with open(root / "Cameras" / f"{i:0>8}_cam.txt", "w") as f:
+            f.write("extrinsic\n")
+            for row in E:
+                f.write(" ".join(str(v) for v in row) + "\n")
+            f.write("\nintrinsic\n")
+            for row in K:
+                f.write(" ".join(str(v) for v in row) + "\n")
+
+
+def _make_hiroom_fixture(root, n_views=3, hw=(28, 28)):
+    rng = np.random.default_rng(0)
+    s = root / "room_a"
+    (s / "image").mkdir(parents=True)
+    (s / "pose").mkdir()
+    np.save(s / "cam_K.npy", np.diag([30.0, 30.0, 1.0]).astype(np.float32))
+    for i in range(n_views):
+        _write_png(s / "image" / f"{i:04d}.png",
+                   rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+        E = np.eye(4); E[1, 3] = 0.1 * i
+        np.save(s / "pose" / f"{i:04d}.npy", E.astype(np.float32))
+
+
+def _make_scannetpp_fixture(root, n_views=3, hw=(28, 28)):
+    rng = np.random.default_rng(0)
+    base = root / "09c1414f1b" / "merge_dslr_iphone"
+    (base / "colmap" / "sparse_render_rgb").mkdir(parents=True)
+    (base / "images").mkdir()
+    sp = base / "colmap" / "sparse_render_rgb"
+    with open(sp / "cameras.txt", "w") as f:
+        f.write("1 PINHOLE 28 28 30 30 14 14\n")
+    with open(sp / "images.txt", "w") as f:
+        for i in range(n_views):
+            f.write(f"{i + 1} 1 0 0 0 0 0 {0.2 * i} 1 iphone_{i}.jpg\n\n")
+            _write_png(base / "images" / f"iphone_{i}.jpg",
+                       rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+        # a DSLR frame that must be filtered out
+        f.write(f"{n_views + 1} 1 0 0 0 0 0 9 1 dslr_0.jpg\n\n")
+        _write_png(base / "images" / "dslr_0.jpg",
+                   rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+
+
+class TestMoreBenchDatasets:
+    def test_dtu64_loader(self, tmp_path):
+        import videogpa_tpu.models.da3.bench_datasets as bd
+        from videogpa_tpu.models.da3.bench import DATASET_REGISTRY
+
+        _make_dtu64_fixture(tmp_path)
+        ds = DATASET_REGISTRY["dtu64"]()
+        ds.root = str(tmp_path)
+        ds.camera_root = str(tmp_path / "Cameras")
+        assert ds.scenes() == ["scan1"]
+        scene = ds.get_data("scan1")
+        assert scene.frames.shape == (3, 28, 28, 3)
+        np.testing.assert_allclose(scene.gt_extrinsics[2, 0, 3], 0.1, atol=1e-6)
+
+    def test_hiroom_loader(self, tmp_path):
+        import videogpa_tpu.models.da3.bench_datasets as bd
+        from videogpa_tpu.models.da3.bench import DATASET_REGISTRY
+
+        _make_hiroom_fixture(tmp_path)
+        ds = DATASET_REGISTRY["hiroom"]()
+        ds.root = str(tmp_path)
+        assert ds.scenes() == ["room_a"]
+        scene = ds.get_data("room_a")
+        assert scene.frames.shape == (3, 28, 28, 3)
+        np.testing.assert_allclose(scene.gt_extrinsics[2, 1, 3], 0.2, atol=1e-6)
+        np.testing.assert_allclose(scene.gt_intrinsics[0][0, 0], 30.0)
+
+    def test_scannetpp_loader(self, tmp_path):
+        import videogpa_tpu.models.da3.bench_datasets as bd
+        from videogpa_tpu.models.da3.bench import DATASET_REGISTRY
+
+        _make_scannetpp_fixture(tmp_path)
+        ds = DATASET_REGISTRY["scannetpp"]()
+        ds.root = str(tmp_path)
+        assert ds.scenes() == ["09c1414f1b"]
+        scene = ds.get_data("09c1414f1b")
+        assert scene.frames.shape == (3, 28, 28, 3)  # DSLR frame filtered
+        np.testing.assert_allclose(scene.gt_extrinsics[1, 2, 3], 0.2, atol=1e-6)

@@ -197,6 +197,172 @@ def _eth3d_factory():
     return ETH3DDataset()
 
 
+@register_dataset("dtu64")
+def _dtu64_factory():
+    class DTU64Dataset(BenchDataset):
+        """DTU-64 pose-eval variant (``bench/datasets/dtu64.py``):
+        ``<scene>/image/{idx:08d}.png`` with a shared camera directory of
+        DTU-format cam.txt files and the view-33 reference reorder."""
+
+        name = "dtu64"
+
+        def __init__(self, root: Optional[str] = None,
+                     camera_root: Optional[str] = None, max_views: int = 10):
+            self.root = root or os.environ.get("DTU64_EVAL_DATA_ROOT", "dtu64_eval")
+            self.camera_root = camera_root or os.environ.get(
+                "DTU64_CAMERA_ROOT", os.path.join(self.root, "Cameras")
+            )
+            self.max_views = max_views
+
+        def scenes(self) -> List[str]:
+            if not os.path.isdir(self.root):
+                return []
+            return sorted(
+                d for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d, "image"))
+            )
+
+        def get_data(self, scene: str) -> Scene:
+            read_cam = _dtu_factory().read_cam_file
+            files = sorted(
+                glob.glob(os.path.join(self.root, scene, "image", "*.png"))
+            )
+            if len(files) > 33:
+                files = [files[33]] + files[:33] + files[34:]
+            files = _subsample(files, self.max_views)
+            frames, extr, intr = [], [], []
+            for fpath in files:
+                cam_idx = int(os.path.basename(fpath).split(".")[0])
+                cam_file = os.path.join(self.camera_root, f"{cam_idx:0>8}_cam.txt")
+                if not os.path.exists(cam_file):
+                    continue
+                K, E = read_cam(cam_file)
+                frames.append(_load_image(fpath))
+                extr.append(E[:3])
+                intr.append(K)
+            return Scene(
+                name=scene,
+                frames=np.stack(frames),
+                gt_extrinsics=np.stack(extr).astype(np.float32),
+                gt_intrinsics=np.stack(intr).astype(np.float32),
+            )
+
+    return DTU64Dataset()
+
+
+@register_dataset("hiroom")
+def _hiroom_factory():
+    class HiRoomDataset(BenchDataset):
+        """HiRoom (``bench/datasets/hiroom.py``): ``<scene>/image/*`` with
+        per-frame w2c poses ``<scene>/pose/<frame>.npy`` and a shared
+        ``cam_K.npy``; GT clouds under ``gt_root``."""
+
+        name = "hiroom"
+
+        def __init__(self, root: Optional[str] = None,
+                     gt_root: Optional[str] = None, max_views: int = 10):
+            self.root = root or os.environ.get("HIROOM_EVAL_DATA_ROOT", "hiroom_eval")
+            self.gt_root = gt_root or os.environ.get(
+                "HIROOM_GT_ROOT", os.path.join(self.root, "gt_pcd")
+            )
+            self.max_views = max_views
+
+        def scenes(self) -> List[str]:
+            if not os.path.isdir(self.root):
+                return []
+            return sorted(
+                d for d in os.listdir(self.root)
+                if os.path.isfile(os.path.join(self.root, d, "cam_K.npy"))
+            )
+
+        def get_data(self, scene: str) -> Scene:
+            sdir = os.path.join(self.root, scene)
+            K = np.load(os.path.join(sdir, "cam_K.npy")).astype(np.float32)
+            items = []
+            for img_name in sorted(os.listdir(os.path.join(sdir, "image"))):
+                frame = img_name.split(".")[0]
+                pose = os.path.join(sdir, "pose", f"{frame}.npy")
+                if os.path.exists(pose):
+                    items.append((os.path.join(sdir, "image", img_name), pose))
+            items = _subsample(items, self.max_views)
+            frames = [_load_image(i) for i, _ in items]
+            extr = [np.load(p).astype(np.float32)[:3] for _, p in items]
+            gt_points = None
+            gt_name = "-".join(scene.split("/")[-3:]) + ".ply"
+            gt_path = os.path.join(self.gt_root, gt_name)
+            if os.path.isfile(gt_path):
+                gt_points = read_ply_xyz(gt_path)
+            return Scene(
+                name=scene,
+                frames=np.stack(frames),
+                gt_extrinsics=np.stack(extr),
+                gt_intrinsics=np.stack([K] * len(frames)),
+                gt_points=gt_points,
+            )
+
+    return HiRoomDataset()
+
+
+@register_dataset("scannetpp")
+def _scannetpp_factory():
+    class ScanNetPPDataset(BenchDataset):
+        """ScanNet++ (``bench/datasets/scannetpp.py``): a COLMAP model under
+        ``<scene>/merge_dslr_iphone/colmap/sparse_render_rgb`` with images in
+        ``merge_dslr_iphone/images`` (iPhone frames only) and the GT mesh at
+        ``scans/mesh_aligned_0.05.ply``."""
+
+        name = "scannetpp"
+
+        def __init__(self, root: Optional[str] = None, max_views: int = 10):
+            self.root = root or os.environ.get(
+                "SCANNETPP_EVAL_DATA_ROOT", "scannetpp_eval"
+            )
+            self.max_views = max_views
+
+        def scenes(self) -> List[str]:
+            if not os.path.isdir(self.root):
+                return []
+            return sorted(
+                d for d in os.listdir(self.root)
+                if os.path.isdir(
+                    os.path.join(self.root, d, "merge_dslr_iphone")
+                )
+            )
+
+        def get_data(self, scene: str) -> Scene:
+            from videogpa_tpu.models.da3.colmap_io import read_model
+
+            base = os.path.join(self.root, scene, "merge_dslr_iphone")
+            cams, images, _ = read_model(
+                os.path.join(base, "colmap", "sparse_render_rgb")
+            )
+            rows = []
+            for img in images.values():
+                if "iphone" not in img.name:
+                    continue
+                path = os.path.join(base, "images", img.name)
+                if not os.path.exists(path) or img.camera_id not in cams:
+                    continue
+                rows.append(
+                    (img.name, path, img.extrinsic[:3], cams[img.camera_id].K)
+                )
+            rows.sort(key=lambda r: r[0])
+            rows = _subsample(rows, self.max_views)
+            gt_points = None
+            mesh = os.path.join(self.root, scene, "scans", "mesh_aligned_0.05.ply")
+            if os.path.isfile(mesh):
+                gt_points = read_ply_xyz(mesh)
+            return Scene(
+                name=scene,
+                frames=np.stack([_load_image(r[1]) for r in rows]),
+                gt_extrinsics=np.stack([r[2] for r in rows]).astype(np.float32),
+                gt_intrinsics=np.stack([r[3] for r in rows]).astype(np.float32),
+                gt_points=gt_points,
+            )
+
+    return ScanNetPPDataset()
+
+
 @register_dataset("7scenes")
 def _sevenscenes_factory():
     class SevenScenesDataset(BenchDataset):
