@@ -30,6 +30,12 @@ def add_common_args(parser: argparse.ArgumentParser, base_model: str):
     parser.add_argument("--num_inference_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=6.0)
     parser.add_argument("--fps", type=int, default=8)
+    parser.add_argument(
+        "--attn_impl", type=str, default="auto",
+        choices=["auto", "flash", "flash_int8", "xla"],
+        help="attention kernel; flash_int8 = SageAttention-style int8 QK "
+             "production-inference mode (~7%% faster, cosine 0.999995)",
+    )
     return parser
 
 
@@ -71,6 +77,7 @@ class CogVideoXGenerator:
             guidance_scale=args.guidance_scale,
             use_dynamic_cfg=dynamic_cfg,
         )
+        self.attn_impl = getattr(args, "attn_impl", "auto")
         self.dit, self.vae = load_cogvideox(args.base_model, cfg, dtype=jnp.bfloat16)
         self.t5, self.t5_cfg = load_t5(args.base_model)
         from transformers import AutoTokenizer
@@ -126,12 +133,13 @@ class CogVideoXGenerator:
             video = sample_i2v(
                 self.dit, self.vae, text_emb, neg_emb, img, self.cfg, key,
                 num_frames=num_frames, settings=self.settings,
+                attn_impl=self.attn_impl,
             )
         else:
             video = sample_t2v(
                 self.dit, self.vae, text_emb, neg_emb, self.cfg, key,
                 num_frames=num_frames, height=height, width=width,
-                settings=self.settings,
+                settings=self.settings, attn_impl=self.attn_impl,
             )
         return video_to_uint8(video)[0]  # (T, H, W, 3)
 
