@@ -136,6 +136,62 @@ def bench_wan():
     return 3 / (time.perf_counter() - t0)
 
 
+def bench_train():
+    """DPO train step throughput — the reference's ``stats/samples_per_sec``
+    telemetry point (``train/CogVideoX-I2V-5B/03_train.py:166-177``). One
+    step = policy fwd+bwd on the win/lose pair plus the frozen-reference
+    forwards, sharing a single base-weight copy in HBM.
+
+    Defaults to the 2B-scale config: the 5B step needs ~25.5 GB HBM
+    (measured: 11.2 GB bf16 base + win/lose remat residuals), which exceeds
+    a single 16 GB v5e — the reason the reference trains on 8 GPUs and this
+    repo ships the DP/TP/ring mesh path. Set VIDEOGPA_BENCH_TRAIN_5B=1 on a
+    bigger chip (v5p/v6e) or a mesh to bench the 5B operating point.
+    Returns (steps/sec, step_seconds, scale_label)."""
+    from videogpa_tpu.models.cogvideox import CogVideoXConfig
+
+    if os.environ.get("VIDEOGPA_BENCH_TRAIN_5B") == "1":
+        return _bench_train_cfg(CogVideoXConfig.cogvideox_5b()) + ("5b",)
+    return _bench_train_cfg(CogVideoXConfig.cogvideox_2b()) + ("2b",)
+
+
+def _bench_train_cfg(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from videogpa_tpu.models.cogvideox import dit_init
+    from videogpa_tpu.train.lora import lora_init
+    from videogpa_tpu.train.trainer import (
+        TrainerConfig,
+        init_train_state,
+        make_dpo_train_step,
+    )
+
+    base = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    tcfg = TrainerConfig(lora_rank=64, lora_alpha=128.0,
+                         compute_dtype=jnp.bfloat16, remat=True)
+    lora = lora_init(jax.random.PRNGKey(1), cfg.num_layers, cfg.hidden_dim, rank=64)
+    state = init_train_state(lora, tcfg)
+    train_step, _ = make_dpo_train_step(base, cfg, tcfg)
+
+    B, F = 1, 13
+    key = jax.random.PRNGKey(2)
+    batch = {
+        "x_win": jax.random.normal(key, (B, 16, F, 60, 90), jnp.float32),
+        "x_lose": jax.random.normal(key, (B, 16, F, 60, 90), jnp.float32),
+        "prompt_emb": jax.random.normal(key, (B, 226, 4096), jnp.float32),
+    }
+    state, m = train_step(state, batch, jax.random.PRNGKey(3))  # compile
+    float(np.asarray(m["loss"]))
+    t0 = time.perf_counter()
+    n_iter = 2
+    for _ in range(n_iter):
+        state, m = train_step(state, batch, jax.random.PRNGKey(4))
+    float(np.asarray(m["loss"]))
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt, dt
+
+
 def bench_overlap():
     """Generate+score combined throughput: overlapped vs sequential.
 
@@ -245,6 +301,10 @@ def main():
         single, batched = bench_reward()
         result["reward_clips_per_min"] = round(single, 2)
         result["reward_clips_per_min_batched"] = round(batched, 2)
+    if os.environ.get("VIDEOGPA_BENCH_TRAIN") == "1":
+        tps, tdt, scale = bench_train()
+        result[f"dpo_steps_per_sec_{scale}"] = round(tps, 4)
+        result[f"dpo_step_ms_{scale}"] = round(tdt * 1000, 1)
     if os.environ.get("VIDEOGPA_BENCH_OVERLAP") == "1":
         seq, ovl = bench_overlap()
         result["genscore_clips_per_min_sequential"] = round(seq, 2)

@@ -55,7 +55,7 @@ def wan_denoise_loop(
     sigmas = shifted_sigmas(num_steps, cfg.shift)
     latents = jax.random.normal(key, latent_shape, jnp.float32)
     if ti2v and image_latent is not None:
-        latents = latents.at[:, :, 0:1].set(image_latent)
+        latents = jnp.concatenate([image_latent, latents[:, :, 1:]], axis=2)
 
     ctx = jnp.concatenate([null_context, context], axis=0)
 
@@ -82,7 +82,7 @@ def wan_denoise_loop(
         # flow ODE Euler: dz/dsigma = v  (z = (1-s) z0 + s eps, v = eps - z0)
         lat = lat + (sig_next - sig) * v
         if ti2v and image_latent is not None:
-            lat = lat.at[:, :, 0:1].set(image_latent)
+            lat = jnp.concatenate([image_latent, lat[:, :, 1:]], axis=2)
         return lat
 
     return jax.lax.fori_loop(0, num_steps, body, latents)

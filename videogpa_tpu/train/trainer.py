@@ -129,9 +129,9 @@ def make_dpo_train_step(
     optimizer = make_optimizer(tcfg)
     lora_scaling = tcfg.lora_alpha / tcfg.lora_rank
 
-    def forward(lora, latents_noisy, prompt_emb, timesteps):
+    def forward(base_p, lora, latents_noisy, prompt_emb, timesteps):
         return dit_forward(
-            base_params,
+            base_p,
             latents_noisy,
             prompt_emb,
             timesteps,
@@ -143,7 +143,7 @@ def make_dpo_train_step(
             lora_scaling=lora_scaling,
         )
 
-    def shared_step(lora, batch, key):
+    def shared_step(base_p, vae_p, lora, batch, key):
         x_win = jnp.transpose(batch["x_win"], (0, 2, 1, 3, 4))  # -> (B, F, C, H, W)
         x_lose = jnp.transpose(batch["x_lose"], (0, 2, 1, 3, 4))
         if cfg.patch_size_t is not None:
@@ -166,9 +166,9 @@ def make_dpo_train_step(
         )
         noise = jax.random.normal(k_noise, x_win.shape, jnp.float32)
 
-        if "image_emb" in batch and vae_params is not None:
+        if "image_emb" in batch and vae_p is not None:
             img_cond = _i2v_condition(
-                vae_params, batch["image_emb"], x_win, cfg, k_img
+                vae_p, batch["image_emb"], x_win, cfg, k_img
             ).astype(x_win.dtype)
         elif cfg.in_channels > cfg.out_channels:
             img_cond = jnp.zeros_like(x_win)
@@ -185,13 +185,13 @@ def make_dpo_train_step(
         x_lose_noisy = with_cond(x_lose)
 
         # policy: base + LoRA; frozen reference: the same base, no LoRA
-        v_win = forward(lora, x_win_noisy, prompt_emb, timesteps)
-        v_lose = forward(lora, x_lose_noisy, prompt_emb, timesteps)
+        v_win = forward(base_p, lora, x_win_noisy, prompt_emb, timesteps)
+        v_lose = forward(base_p, lora, x_lose_noisy, prompt_emb, timesteps)
         v_win_ref = jax.lax.stop_gradient(
-            forward(None, x_win_noisy, prompt_emb, timesteps)
+            forward(base_p, None, x_win_noisy, prompt_emb, timesteps)
         )
         v_lose_ref = jax.lax.stop_gradient(
-            forward(None, x_lose_noisy, prompt_emb, timesteps)
+            forward(base_p, None, x_lose_noisy, prompt_emb, timesteps)
         )
 
         v_win_target = scheduler.get_velocity(x_win, noise, timesteps)
@@ -209,10 +209,16 @@ def make_dpo_train_step(
         }
         return out.loss, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
-        (_, metrics), grads = jax.value_and_grad(shared_step, has_aux=True)(
-            state.lora, batch, key
+    # base/vae params enter as RUNTIME ARGUMENTS (bound via partial), not
+    # jit closure constants: closed-over arrays are embedded in the compile
+    # payload, and remote-compile backends reject/choke on multi-GB payloads
+    # (the 5B base as a constant broke the axon compile transport)
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def _train_step(base_p, vae_p, state: TrainState,
+                    batch: Dict[str, jax.Array], key: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(shared_step, argnums=2,
+                                                 has_aux=True)(
+            base_p, vae_p, state.lora, batch, key
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
@@ -220,8 +226,10 @@ def make_dpo_train_step(
         return TrainState(lora, opt_state, state.step + 1), metrics
 
     @jax.jit
-    def eval_step(state: TrainState, batch, key):
-        _, metrics = shared_step(state.lora, batch, key)
+    def _eval_step(base_p, vae_p, state: TrainState, batch, key):
+        _, metrics = shared_step(base_p, vae_p, state.lora, batch, key)
         return metrics
 
+    train_step = functools.partial(_train_step, base_params, vae_params)
+    eval_step = functools.partial(_eval_step, base_params, vae_params)
     return train_step, eval_step

@@ -35,14 +35,14 @@ def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
     optimizer = make_optimizer(tcfg)
     lora_scaling = tcfg.lora_alpha / tcfg.lora_rank
 
-    def forward(lora, latents, t, context):
+    def forward(base_p, lora, latents, t, context):
         return wan_forward(
-            base_params, latents, t, context, cfg,
+            base_p, latents, t, context, cfg,
             attn_impl=tcfg.attn_impl, remat=tcfg.remat,
             compute_dtype=tcfg.compute_dtype, lora=lora, lora_scaling=lora_scaling,
         )
 
-    def shared_step(lora, batch: Dict[str, jax.Array], key: jax.Array):
+    def shared_step(base_p, lora, batch: Dict[str, jax.Array], key: jax.Array):
         x_win = batch["x_win"]  # (B, C, F, H, W)
         x_lose = batch["x_lose"]
         context = batch["prompt_emb"]
@@ -57,15 +57,21 @@ def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
         x_win_noisy = flow_add_noise(x_win, noise, sigma)
         x_lose_noisy = flow_add_noise(x_lose, noise, sigma)
         if image_latent is not None:
-            x_win_noisy = x_win_noisy.at[:, :, 0:1].set(image_latent)
-            x_lose_noisy = x_lose_noisy.at[:, :, 0:1].set(image_latent)
+            # concatenate, not at[].set(): the dynamic-update-slice form can
+            # be miscompiled under a sharded mesh (see cogvideox dit rope)
+            x_win_noisy = jnp.concatenate(
+                [image_latent, x_win_noisy[:, :, 1:]], axis=2)
+            x_lose_noisy = jnp.concatenate(
+                [image_latent, x_lose_noisy[:, :, 1:]], axis=2)
 
         t_tokens = ti2v_timestep_tokens(timesteps, (F, H, W), cfg.patch_size)
 
-        v_win = forward(lora, x_win_noisy, t_tokens, context)
-        v_lose = forward(lora, x_lose_noisy, t_tokens, context)
-        v_win_ref = jax.lax.stop_gradient(forward(None, x_win_noisy, t_tokens, context))
-        v_lose_ref = jax.lax.stop_gradient(forward(None, x_lose_noisy, t_tokens, context))
+        v_win = forward(base_p, lora, x_win_noisy, t_tokens, context)
+        v_lose = forward(base_p, lora, x_lose_noisy, t_tokens, context)
+        v_win_ref = jax.lax.stop_gradient(
+            forward(base_p, None, x_win_noisy, t_tokens, context))
+        v_lose_ref = jax.lax.stop_gradient(
+            forward(base_p, None, x_lose_noisy, t_tokens, context))
 
         v_win_target = flow_velocity_target(x_win, noise)
         v_lose_target = flow_velocity_target(x_lose, noise)
@@ -79,10 +85,13 @@ def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
             "reward_accuracy": out.accuracy,
         }
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch, key):
-        (_, metrics), grads = jax.value_and_grad(shared_step, has_aux=True)(
-            state.lora, batch, key
+    # base params as a runtime argument, not a jit closure constant (multi-GB
+    # constants break/bloat remote compilation — see trainer.py)
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def _train_step(base_p, state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(shared_step, argnums=1,
+                                                 has_aux=True)(
+            base_p, state.lora, batch, key
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
@@ -90,8 +99,10 @@ def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
         return TrainState(lora, opt_state, state.step + 1), metrics
 
     @jax.jit
-    def eval_step(state: TrainState, batch, key):
-        _, metrics = shared_step(state.lora, batch, key)
+    def _eval_step(base_p, state: TrainState, batch, key):
+        _, metrics = shared_step(base_p, state.lora, batch, key)
         return metrics
 
+    train_step = functools.partial(_train_step, base_params)
+    eval_step = functools.partial(_eval_step, base_params)
     return train_step, eval_step
