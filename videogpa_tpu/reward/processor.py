@@ -101,7 +101,12 @@ class VideoProcessor:
 
         @functools.partial(jax.jit, static_argnums=())
         def run(params, images):
-            # images: (1, S, 3, H, W) in [0, 1]
+            # images: (1, S, 3, H, W) f32 in [0, 1], or (1, S, H, W, 3)
+            # uint8 — raw uint8 uploads are 4x smaller on the host->device
+            # link (the axon tunnel moves ~50 MB/s; 32 -> 8 MB per clip),
+            # with the normalize/transpose inside the jitted graph
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32).transpose(0, 1, 4, 2, 3) / 255.0
             preds = vggt_forward(
                 params, images, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype
             )
@@ -145,8 +150,13 @@ class VideoProcessor:
 
         @functools.partial(jax.jit, static_argnums=())
         def run(params, images):
-            # images: (1, S, 3, H, W) ImageNet-normalized;
-            # colors: (1, S, 3, H, W) in [0, 1]
+            # images: (1, S, 3, H, W) ImageNet-normalized f32, or raw
+            # (1, S, H, W, 3) uint8 (normalized on device; 4x less transfer)
+            if images.dtype == jnp.uint8:
+                x = images.astype(jnp.float32).transpose(0, 1, 4, 2, 3) / 255.0
+                mean_in = jnp.asarray(_IMAGENET_MEAN).reshape(1, 1, 3, 1, 1)
+                std_in = jnp.asarray(_IMAGENET_STD).reshape(1, 1, 3, 1, 1)
+                images = (x - mean_in) / std_in
             H, W = images.shape[-2:]
             out = da3_forward(
                 params, images, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype
@@ -202,7 +212,14 @@ class VideoProcessor:
 
         @jax.jit
         def run(params, images):
-            # images: (K, S, 3, H, W)
+            # images: (K, S, 3, H, W) f32, or raw (K, S, H, W, 3) uint8
+            # (normalized on device: 4x less host->device transfer)
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32).transpose(0, 1, 4, 2, 3) / 255.0
+                if backbone == "da3":
+                    mean_in = jnp.asarray(_IMAGENET_MEAN).reshape(1, 1, 3, 1, 1)
+                    std_in = jnp.asarray(_IMAGENET_STD).reshape(1, 1, 3, 1, 1)
+                    images = (images - mean_in) / std_in
             H, W = images.shape[-2:]
             if backbone == "da3":
                 out = da3_forward(params, images, cfg, attn_impl=attn_impl,
@@ -288,18 +305,27 @@ class VideoProcessor:
                 video_paths,
             ))
         K = len(all_frames)
-        if self.backbone == "da3":
+        first = all_frames[0]
+        raw_ok = (first.dtype == np.uint8 and (
+            self.backbone == "da3"
+            or first.shape[1] == first.shape[2] == 518
+        ))
+        if raw_ok:
+            # raw uint8 upload, normalize on device (see _device_fn_batched)
+            images = jnp.asarray(np.stack(all_frames))
+        elif self.backbone == "da3":
             mean = np.asarray(_IMAGENET_MEAN, np.float32)
             std = np.asarray(_IMAGENET_STD, np.float32)
             imgs = np.stack([
                 ((f.astype(np.float32) / 255.0 - mean) / std).transpose(0, 3, 1, 2)
                 for f in all_frames
             ])
+            images = jnp.asarray(imgs)
         else:
             imgs = np.stack([
                 np.asarray(preprocess_images_vggt(f))[0] for f in all_frames
             ])
-        images = jnp.asarray(imgs)
+            images = jnp.asarray(imgs)
 
         results = [dict() for _ in range(K)]
         for th in thresholds:
@@ -331,12 +357,13 @@ class VideoProcessor:
                 "videogpa_tpu.models.da3.convert.convert_da3)"
             )
         if self.backbone == "da3":
-            imgs = frames_np.astype(np.float32) / 255.0
-            mean = np.asarray(_IMAGENET_MEAN, np.float32)
-            std = np.asarray(_IMAGENET_STD, np.float32)
-            images = jnp.asarray(
-                ((imgs - mean) / std).transpose(0, 3, 1, 2)[None]
-            )
+            # raw uint8 upload; ImageNet normalization happens on device
+            images = jnp.asarray(frames_np[None])
+        elif (frames_np.shape[1] == frames_np.shape[2] == 518
+              and frames_np.dtype == np.uint8):
+            # fast path: already 518x518 -> raw uint8 upload, normalize on
+            # device (4x less tunnel traffic than host-side f32)
+            images = jnp.asarray(frames_np[None])
         else:
             images = jnp.asarray(preprocess_images_vggt(frames_np))
 
