@@ -292,11 +292,16 @@ def main():
         "vs_h100_estimate": round(steps_per_sec / H100_ESTIMATE_STEPS_PER_SEC, 3),
         "step_ms": round(dt * 1000, 1),
     }
+    # the int8 extra costs a second full compile (~3 min on the remote
+    # compiler); never let it lose the headline number
     if os.environ.get("VIDEOGPA_BENCH_INT8", "1") == "1":
-        sps_i8, dt_i8 = bench_denoise(attn_impl="flash_int8")
-        result["int8_steps_per_sec"] = round(sps_i8, 4)
-        result["int8_step_ms"] = round(dt_i8 * 1000, 1)
-        result["int8_vs_baseline"] = round(sps_i8 / BASELINE_STEPS_PER_SEC, 3)
+        try:
+            sps_i8, dt_i8 = bench_denoise(attn_impl="flash_int8")
+            result["int8_steps_per_sec"] = round(sps_i8, 4)
+            result["int8_step_ms"] = round(dt_i8 * 1000, 1)
+            result["int8_vs_baseline"] = round(sps_i8 / BASELINE_STEPS_PER_SEC, 3)
+        except Exception as e:  # pragma: no cover - environment hiccups
+            result["int8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_WAN") == "1":
         result["wan_steps_per_sec"] = round(bench_wan(), 4)
     if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
