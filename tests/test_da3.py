@@ -575,3 +575,76 @@ class TestGSRendererGrad:
         g = jax.grad(loss)(means)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0  # non-trivial gradient
+
+
+class TestPresets:
+    """Reference preset registry coverage (reference cfg.py:31-100,
+    configs/da3-{small,base,large,giant}.yaml + mono/metric/nested)."""
+
+    def test_from_name_all_presets(self):
+        from videogpa_tpu.models.da3.config import DA3Config
+
+        dims = {
+            "da3-small": (384, 12, 6, 4, "mlp"),
+            "da3-base": (768, 12, 12, 4, "mlp"),
+            "da3-large": (1024, 24, 16, 8, "mlp"),
+            "da3-giant": (1536, 40, 24, 13, "swiglu"),
+        }
+        for name, (C, depth, heads, alt, ffn) in dims.items():
+            cfg = DA3Config.from_name(name)
+            assert (cfg.embed_dim, cfg.depth, cfg.num_heads,
+                    cfg.alt_start, cfg.ffn) == (C, depth, heads, alt, ffn)
+        mono = DA3Config.from_name("da3mono-large")
+        assert mono.alt_start == -1 and mono.out_layers == (4, 11, 17, 23)
+        any_cfg, met_cfg = DA3Config.from_name("da3nested-giant-large")
+        assert any_cfg.embed_dim == 1536 and met_cfg.alt_start == -1
+        import pytest
+
+        with pytest.raises(KeyError):
+            DA3Config.from_name("da3-unknown")
+
+    def test_nested_giant_large_eval_shape(self):
+        """da3nested-giant-large instantiates at reference scale (eval_shape:
+        no weights materialized) and the forward graph traces."""
+        import jax
+
+        from videogpa_tpu.models.da3.config import DA3Config
+        from videogpa_tpu.models.da3.model import da3_forward, da3_init
+
+        any_cfg, _ = DA3Config.from_name("da3nested-giant-large")
+        key = jax.random.PRNGKey(0)
+        shapes = jax.eval_shape(lambda k: da3_init(k, any_cfg), key)
+        n_params = sum(
+            np.prod(s.shape) for s in jax.tree.leaves(shapes)
+        )
+        assert 1.0e9 < n_params < 1.6e9  # ViT-g backbone + DualDPT + cams
+
+        # swiglu block layout present in the alternating phase
+        blk = shapes["backbone"]["blocks_alt"][0]
+        assert "w12" in blk["mlp"] and "w3" in blk["mlp"]
+
+        S, H, W = 2, 168, 224
+        x = jax.ShapeDtypeStruct((1, S, 3, H, W), jnp.float32)
+        out = jax.eval_shape(
+            lambda p, im: da3_forward(p, im, any_cfg), shapes, x
+        )
+        assert out["depth"].shape == (1, S, H, W)
+        assert out["extrinsics"].shape == (1, S, 3, 4)
+
+    def test_giant_tiny_swiglu_forward_runs(self):
+        """A giant-style (swiglu) config at tiny dims runs end to end."""
+        import dataclasses
+
+        import jax
+
+        from videogpa_tpu.models.da3.config import DA3Config
+        from videogpa_tpu.models.da3.model import da3_forward, da3_init
+
+        cfg = dataclasses.replace(
+            DA3Config.tiny(), ffn="swiglu", out_layers=(3, 5, 6, 7)
+        )
+        params = da3_init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 3, 28, 28))
+        out = da3_forward(params, x, cfg)
+        assert out["depth"].shape == (1, 2, 28, 28)
+        assert np.isfinite(np.asarray(out["depth"])).all()

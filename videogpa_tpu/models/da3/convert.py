@@ -20,11 +20,11 @@ from videogpa_tpu.ops import layers as L
 
 def _convert_aavit(sd: Mapping[str, np.ndarray], cfg: DA3Config, pfx: str) -> dict:
     pre = [
-        _convert_block(sd, f"{pfx}.blocks.{i}", qk_norm=False, ls=True)
+        _convert_block(sd, f"{pfx}.blocks.{i}", qk_norm=False, ls=True, ffn=cfg.ffn)
         for i in range(cfg.alt_start)
     ]
     alt = [
-        _convert_block(sd, f"{pfx}.blocks.{i}", qk_norm=True, ls=True)
+        _convert_block(sd, f"{pfx}.blocks.{i}", qk_norm=True, ls=True, ffn=cfg.ffn)
         for i in range(cfg.alt_start, cfg.depth)
     ]
     out = {
@@ -86,36 +86,46 @@ def _convert_dualdpt(sd: Mapping[str, np.ndarray], cfg: DA3Config, pfx: str) -> 
     }
 
 
+def convert_camera_dec(sd: Mapping[str, np.ndarray], pfx: str = "cam_dec") -> dict:
+    """CameraDec (reference ``model/cam_dec.py:19-45``)."""
+    return {
+        "backbone1": t_linear(sd, f"{pfx}.backbone.0"),
+        "backbone2": t_linear(sd, f"{pfx}.backbone.2"),
+        "fc_t": t_linear(sd, f"{pfx}.fc_t"),
+        "fc_qvec": t_linear(sd, f"{pfx}.fc_qvec"),
+        "fc_fov": t_linear(sd, f"{pfx}.fc_fov.0"),
+    }
+
+
+def convert_camera_enc(sd: Mapping[str, np.ndarray], pfx: str = "cam_enc") -> dict:
+    """CameraEnc (reference ``model/cam_enc.py:23-80``)."""
+    return {
+        "pose_branch": {
+            "fc1": t_linear(sd, f"{pfx}.pose_branch.fc1"),
+            "fc2": t_linear(sd, f"{pfx}.pose_branch.fc2"),
+        },
+        "token_norm": t_layernorm(sd, f"{pfx}.token_norm"),
+        "trunk": L.stack_params(
+            [
+                _convert_block(sd, f"{pfx}.trunk.{i}", qk_norm=False, ls=True)
+                for i in range(4)
+            ]
+        ),
+        "trunk_norm": t_layernorm(sd, f"{pfx}.trunk_norm"),
+    }
+
+
 def convert_da3(sd: Mapping[str, np.ndarray], cfg: DA3Config) -> dict:
     out = {
         "backbone": _convert_aavit(sd, cfg, "backbone.pretrained"),
         "head": _convert_dualdpt(sd, cfg, "head"),
-        "cam_dec": {
-            "backbone1": t_linear(sd, "cam_dec.backbone.0"),
-            "backbone2": t_linear(sd, "cam_dec.backbone.2"),
-            "fc_t": t_linear(sd, "cam_dec.fc_t"),
-            "fc_qvec": t_linear(sd, "cam_dec.fc_qvec"),
-            "fc_fov": t_linear(sd, "cam_dec.fc_fov.0"),
-        },
+        "cam_dec": convert_camera_dec(sd),
     }
     if "head.scratch.sky_output_conv2.0.weight" in sd:  # mono/metric DPT
         out["head"]["sky_conv2a"] = t_conv2d(sd, "head.scratch.sky_output_conv2.0")
         out["head"]["sky_conv2b"] = t_conv2d(sd, "head.scratch.sky_output_conv2.2")
     if "cam_enc.token_norm.weight" in sd:
-        out["cam_enc"] = {
-            "pose_branch": {
-                "fc1": t_linear(sd, "cam_enc.pose_branch.fc1"),
-                "fc2": t_linear(sd, "cam_enc.pose_branch.fc2"),
-            },
-            "token_norm": t_layernorm(sd, "cam_enc.token_norm"),
-            "trunk": L.stack_params(
-                [
-                    _convert_block(sd, f"cam_enc.trunk.{i}", qk_norm=False, ls=True)
-                    for i in range(4)
-                ]
-            ),
-            "trunk_norm": t_layernorm(sd, "cam_enc.trunk_norm"),
-        }
+        out["cam_enc"] = convert_camera_enc(sd)
     return out
 
 

@@ -90,7 +90,9 @@ def mono_vit_forward(
     for end in cfg.out_layers:
         seg = jax.tree.map(lambda a: a[start : end + 1], params["blocks_pre"])
         x, _ = jax.lax.scan(body, x, seg)
-        outs.append(L.layernorm(params["norm"], x, eps=1e-6))
+        # the trunk's final norm is a default nn.LayerNorm (eps 1e-5) — the
+        # blocks' 1e-6 does not apply here (vision_transformer.py:218)
+        outs.append(L.layernorm(params["norm"], x))
         start = end + 1
     return jnp.stack(outs)  # (4, B, P, C)
 

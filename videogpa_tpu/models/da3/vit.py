@@ -34,6 +34,7 @@ def _pre_cfg(cfg: DA3Config) -> BlockConfig:
     return BlockConfig(
         dim=cfg.embed_dim, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
         init_values=cfg.init_values, qk_norm=False, rope_base=0.0, norm_eps=1e-6,
+        ffn=cfg.ffn,
     )
 
 
@@ -41,7 +42,7 @@ def _alt_cfg(cfg: DA3Config) -> BlockConfig:
     return BlockConfig(
         dim=cfg.embed_dim, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
         init_values=cfg.init_values, qk_norm=True, rope_base=cfg.rope_base,
-        norm_eps=1e-6,
+        norm_eps=1e-6, ffn=cfg.ffn,
     )
 
 
@@ -75,7 +76,12 @@ def _interp_pos(pos_embed: jax.Array, hg: int, wg: int) -> jax.Array:
         return pos_embed
     cls_pe = pos_embed[:, :1]
     pe = pos_embed[:, 1:].reshape(1, m, m, -1).transpose(0, 3, 1, 2)
-    pe = resize_bicubic(pe.astype(jnp.float32), (hg, wg), antialias=False)
+    # DA3's DINOv2 keeps interpolate_offset=0.1 (vision_transformer.py:235-242):
+    # torch maps source coords with the GIVEN scale factor (g+0.1)/m, not g/m
+    pe = resize_bicubic(
+        pe.astype(jnp.float32), (hg, wg), antialias=False,
+        scale_override=(m / (hg + 0.1), m / (wg + 0.1)),
+    )
     pe = pe.transpose(0, 2, 3, 1).reshape(1, hg * wg, -1).astype(pos_embed.dtype)
     return jnp.concatenate([cls_pe, pe], axis=1)
 
@@ -177,15 +183,26 @@ def aavit_forward(
     def pre_body(carry, lp):
         return block_apply(lp, carry, pre_cfg, attn_impl=attn_impl), None
 
-    x, _ = jax.lax.scan(pre_body, x, params["blocks_pre"])
-    x = x.reshape(B, S, P, C)
-
-    # reference-view selection + reorder (S >= threshold, no user cam token)
+    # reference-view selection statistics are computed on the INPUT of block
+    # alt_start-1 (reference vision_transformer.py:314-321 runs the selection
+    # at the top of that loop iteration), so the scan stops one block short,
+    # selection reads x, and the final pre block runs after. The reorder is
+    # applied after the block — a per-frame block commutes with a view
+    # permutation, so this matches the reference exactly.
+    select = S >= cfg.ref_view_threshold and cam_token is None and cfg.alt_start >= 1
     perm = None
-    if S >= cfg.ref_view_threshold and cam_token is None:
-        b_idx = select_reference_view(x, cfg.ref_view_strategy)
+    if select:
+        head_blocks = jax.tree.map(lambda a: a[:-1], params["blocks_pre"])
+        last_block = jax.tree.map(lambda a: a[-1], params["blocks_pre"])
+        x, _ = jax.lax.scan(pre_body, x, head_blocks)
+        b_idx = select_reference_view(x.reshape(B, S, P, C), cfg.ref_view_strategy)
+        x = block_apply(last_block, x, pre_cfg, attn_impl=attn_impl)
+        x = x.reshape(B, S, P, C)
         perm = _reorder_perm(b_idx, S)
         x = jnp.take_along_axis(x, perm[:, :, None, None], axis=1)
+    else:
+        x, _ = jax.lax.scan(pre_body, x, params["blocks_pre"])
+        x = x.reshape(B, S, P, C)
 
     # camera token into cls slot
     if cam_token is None:
@@ -226,8 +243,10 @@ def aavit_forward(
         if inv_perm is not None:
             out = jnp.take_along_axis(out, inv_perm[:, :, None, None], axis=1)
         cam_tok = out[:, :, 0]  # pre-norm camera token (2C)
+        # final norm is a default nn.LayerNorm (eps 1e-5), unlike the blocks'
+        # 1e-6 (reference vision_transformer.py:218 vs layers/block.py:49)
         normed = jnp.concatenate(
-            [out[..., :C], L.layernorm(params["norm"], out[..., C:], eps=1e-6)],
+            [out[..., :C], L.layernorm(params["norm"], out[..., C:])],
             axis=-1,
         )
         feats.append((normed[:, :, 1:], cam_tok))

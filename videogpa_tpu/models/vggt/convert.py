@@ -22,7 +22,20 @@ from videogpa_tpu.models.vggt.config import VGGTConfig
 from videogpa_tpu.ops import layers as L
 
 
-def _convert_block(sd: Mapping[str, np.ndarray], pfx: str, qk_norm: bool, ls: bool) -> dict:
+def _convert_block(
+    sd: Mapping[str, np.ndarray], pfx: str, qk_norm: bool, ls: bool,
+    ffn: str = "mlp",
+) -> dict:
+    if ffn == "swiglu":  # DINOv2-giant SwiGLUFFNFused (w12 / w3)
+        mlp_p = {
+            "w12": t_linear(sd, f"{pfx}.mlp.w12"),
+            "w3": t_linear(sd, f"{pfx}.mlp.w3"),
+        }
+    else:
+        mlp_p = {
+            "fc1": t_linear(sd, f"{pfx}.mlp.fc1"),
+            "fc2": t_linear(sd, f"{pfx}.mlp.fc2"),
+        }
     p = {
         "norm1": t_layernorm(sd, f"{pfx}.norm1"),
         "attn": {
@@ -30,10 +43,7 @@ def _convert_block(sd: Mapping[str, np.ndarray], pfx: str, qk_norm: bool, ls: bo
             "proj": t_linear(sd, f"{pfx}.attn.proj"),
         },
         "norm2": t_layernorm(sd, f"{pfx}.norm2"),
-        "mlp": {
-            "fc1": t_linear(sd, f"{pfx}.mlp.fc1"),
-            "fc2": t_linear(sd, f"{pfx}.mlp.fc2"),
-        },
+        "mlp": mlp_p,
     }
     if qk_norm:
         p["attn"]["q_norm"] = t_layernorm(sd, f"{pfx}.attn.q_norm")

@@ -130,6 +130,35 @@ def mlp(p: Params, x: jax.Array, act: Callable = gelu) -> jax.Array:
     return linear(p["fc2"], act(linear(p["fc1"], x)))
 
 
+def swiglu_hidden(dim: int, mlp_ratio: float = 4.0) -> int:
+    """SwiGLUFFNFused hidden width: 2/3 of the MLP hidden, rounded up to 8
+    (reference DINOv2 ``layers/swiglu_ffn.py:58``)."""
+    return (int(int(dim * mlp_ratio) * 2 / 3) + 7) // 8 * 8
+
+
+def swiglu_init(
+    key: jax.Array,
+    in_features: int,
+    hidden_features: int,
+    out_features: Optional[int] = None,
+    bias: bool = True,
+    dtype=jnp.float32,
+) -> Params:
+    k1, k2 = jax.random.split(key)
+    out_features = out_features or in_features
+    return {
+        "w12": linear_init(k1, in_features, 2 * hidden_features, bias, dtype),
+        "w3": linear_init(k2, hidden_features, out_features, bias, dtype),
+    }
+
+
+def swiglu(p: Params, x: jax.Array) -> jax.Array:
+    """silu(x W1) * (x W2) -> W3 (reference ``layers/swiglu_ffn.py:29-33``)."""
+    x12 = linear(p["w12"], x)
+    x1, x2 = jnp.split(x12, 2, axis=-1)
+    return linear(p["w3"], jax.nn.silu(x1) * x2)
+
+
 def conv2d(
     p: Params,
     x: jax.Array,

@@ -112,19 +112,24 @@ def _cubic_kernel(t: "np.ndarray", a: float = -0.75) -> "np.ndarray":
 
 
 def _bicubic_weights_1d(
-    in_size: int, out_size: int, align_corners: bool, antialias: bool
+    in_size: int, out_size: int, align_corners: bool, antialias: bool,
+    scale_override: float = 0.0,
 ) -> "np.ndarray":
     """(out_size, in_size) weight matrix reproducing torch F.interpolate bicubic.
 
     Indices are edge-clamped (border replicate); antialiased weights are
-    renormalized, matching torch's upsample_bicubic2d_aa.
+    renormalized, matching torch's upsample_bicubic2d_aa. ``scale_override``
+    reproduces torch's behavior when the caller passes ``scale_factor=sf``
+    instead of ``size``: source coords use the *given* in/out ratio
+    (``1/sf``), not ``in_size/out_size`` (DINOv2's historical
+    ``interpolate_offset=0.1`` kludge relies on this).
     """
     W = np.zeros((out_size, in_size), np.float64)
     if align_corners:
         scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
         centers = np.arange(out_size) * scale
     else:
-        scale = in_size / out_size
+        scale = scale_override if scale_override > 0 else in_size / out_size
         centers = (np.arange(out_size) + 0.5) * scale - 0.5
 
     if antialias and not align_corners:
@@ -157,16 +162,21 @@ def resize_bicubic(
     out_hw: tuple,
     align_corners: bool = False,
     antialias: bool = False,
+    scale_override: tuple = (0.0, 0.0),
 ) -> jax.Array:
     """Resize (..., H, W) with torch bicubic semantics (incl. antialias).
 
     The interpolation weights depend only on static sizes, so they are
-    precomputed host-side and applied as two MXU matmuls.
+    precomputed host-side and applied as two MXU matmuls. ``scale_override``
+    (per-axis in/out ratios) mirrors torch's ``scale_factor=`` coordinate
+    mapping — see ``_bicubic_weights_1d``.
     """
     H, W = x.shape[-2], x.shape[-1]
     Ho, Wo = out_hw
-    wh = jnp.asarray(_bicubic_weights_1d(H, Ho, align_corners, antialias))
-    ww = jnp.asarray(_bicubic_weights_1d(W, Wo, align_corners, antialias))
+    wh = jnp.asarray(_bicubic_weights_1d(H, Ho, align_corners, antialias,
+                                         scale_override[0]))
+    ww = jnp.asarray(_bicubic_weights_1d(W, Wo, align_corners, antialias,
+                                         scale_override[1]))
     y = jnp.einsum("oh,...hw->...ow", wh, x.astype(jnp.float32))
     y = jnp.einsum("ow,...hw->...ho", ww, y)
     return y.astype(x.dtype)

@@ -32,11 +32,21 @@ class BlockConfig:
     init_values: Optional[float] = None  # LayerScale init; None = no LayerScale
     rope_base: float = 0.0  # 0 = no rope
     norm_eps: float = 1e-5  # DINOv2 backbones use 1e-6
+    ffn: str = "mlp"  # "mlp" | "swiglu" (DINOv2-giant uses SwiGLUFFNFused)
 
 
 def block_init(key: jax.Array, cfg: BlockConfig, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, 4)
     head_dim = cfg.dim // cfg.num_heads
+    if cfg.ffn == "swiglu":
+        ffn_params = L.swiglu_init(
+            keys[2], cfg.dim, L.swiglu_hidden(cfg.dim, cfg.mlp_ratio),
+            bias=cfg.ffn_bias, dtype=dtype,
+        )
+    else:
+        ffn_params = L.mlp_init(
+            keys[2], cfg.dim, int(cfg.dim * cfg.mlp_ratio), bias=cfg.ffn_bias, dtype=dtype
+        )
     p = {
         "norm1": L.layernorm_init(cfg.dim, dtype),
         "attn": {
@@ -44,9 +54,7 @@ def block_init(key: jax.Array, cfg: BlockConfig, dtype=jnp.float32) -> dict:
             "proj": L.linear_init(keys[1], cfg.dim, cfg.dim, cfg.proj_bias, dtype),
         },
         "norm2": L.layernorm_init(cfg.dim, dtype),
-        "mlp": L.mlp_init(
-            keys[2], cfg.dim, int(cfg.dim * cfg.mlp_ratio), bias=cfg.ffn_bias, dtype=dtype
-        ),
+        "mlp": ffn_params,
     }
     if cfg.qk_norm:
         p["attn"]["q_norm"] = L.layernorm_init(head_dim, dtype)
@@ -98,7 +106,8 @@ def block_apply(
     if "ls1" in p:
         h = h * p["ls1"]["gamma"].astype(h.dtype)
     x = x + h
-    h = L.mlp(p["mlp"], L.layernorm(p["norm2"], x, eps=cfg.norm_eps))
+    h2 = L.layernorm(p["norm2"], x, eps=cfg.norm_eps)
+    h = L.swiglu(p["mlp"], h2) if cfg.ffn == "swiglu" else L.mlp(p["mlp"], h2)
     if "ls2" in p:
         h = h * p["ls2"]["gamma"].astype(h.dtype)
     return x + h
