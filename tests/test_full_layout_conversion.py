@@ -118,23 +118,35 @@ class TestT5FullLayout:
 
         from videogpa_tpu.models.t5.encoder import T5Config, convert_t5_encoder
 
-        cfg = getattr(T5Config, variant)()
-        if variant == "umt5_xxl":
-            hf_cfg = UMT5Config(
-                vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
-                d_ff=cfg.d_ff, num_layers=cfg.num_layers,
-                num_heads=cfg.num_heads, feed_forward_proj="gated-gelu",
+        import dataclasses
+
+        full = getattr(T5Config, variant)()
+        # full 24-layer key grammar at distinct scaled widths — converting
+        # dense 4.7B-param zero tensors adds ~3 min/case and no information
+        # (key names depend only on the module tree; transposes surface at
+        # any width when the dims are pairwise distinct)
+        cfg = dataclasses.replace(
+            full, vocab_size=128, d_model=64, d_kv=8, d_ff=40, num_heads=4
+        )
+        hf_cls = UMT5EncoderModel if variant == "umt5_xxl" else T5EncoderModel
+        hf_cfg_cls = UMT5Config if variant == "umt5_xxl" else HFT5Config
+
+        def hf_cfg_for(c):
+            return hf_cfg_cls(
+                vocab_size=c.vocab_size, d_model=c.d_model, d_kv=c.d_kv,
+                d_ff=c.d_ff, num_layers=c.num_layers,
+                num_heads=c.num_heads, feed_forward_proj="gated-gelu",
             )
-            with torch.device("meta"):
-                model = UMT5EncoderModel(hf_cfg)
-        else:
-            hf_cfg = HFT5Config(
-                vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
-                d_ff=cfg.d_ff, num_layers=cfg.num_layers,
-                num_heads=cfg.num_heads, feed_forward_proj="gated-gelu",
-            )
-            with torch.device("meta"):
-                model = T5EncoderModel(hf_cfg)
+
+        with torch.device("meta"):
+            model = hf_cls(hf_cfg_for(cfg))
+            model_full = hf_cls(hf_cfg_for(full))
+        fsd = model_full.state_dict()
+        assert set(model.state_dict()) == set(fsd)
+        # real XXL widths on the meta oracle
+        q_key = ("encoder.block.23.layer.0.SelfAttention.q.weight")
+        assert tuple(fsd[q_key].shape) == (full.num_heads * full.d_kv, full.d_model)
+
         sd = _zeros_sd(model.state_dict())
         params = convert_t5_encoder(sd, cfg)
         assert params["embed"].shape == (cfg.vocab_size, cfg.d_model)
@@ -150,14 +162,38 @@ class TestT5FullLayout:
 
 class TestCogVideoXFullLayout:
     def test_convert_dit_full_5b_layout(self):
+        """Full 42-layer key grammar at distinct scaled-down widths.
+
+        The real-5B-dim conversion materializes ~20 GB of stacked zeros for
+        no extra information: key names depend only on the module tree (all
+        42 layers kept), and transpose bugs surface at ANY width as long as
+        the participating dims are pairwise distinct. The real-width shape
+        math is asserted against the meta-device oracle separately.
+        """
+        import dataclasses
+
         from test_cogvideox_parity import OracleDiT
 
         from videogpa_tpu.models.cogvideox.config import CogVideoXConfig
         from videogpa_tpu.models.cogvideox.convert import convert_dit, export_dit
 
-        cfg = CogVideoXConfig.cogvideox_5b()
+        full = CogVideoXConfig.cogvideox_5b()
+        cfg = dataclasses.replace(
+            full, num_heads=3, head_dim=16, text_embed_dim=24,
+            time_embed_dim=40,
+        )
         with torch.device("meta"):
             oracle = OracleDiT(cfg)
+            oracle_full = OracleDiT(full)
+        # identical key grammar at both widths
+        assert set(oracle.state_dict()) == set(oracle_full.state_dict())
+        # real 5B widths: spot-check the meta oracle's shape math
+        fsd = oracle_full.state_dict()
+        assert tuple(fsd["transformer_blocks.41.attn1.to_q.weight"].shape) == (
+            3072, 3072,
+        )
+        assert tuple(fsd["patch_embed.text_proj.weight"].shape) == (3072, 4096)
+
         sd = _zeros_sd(oracle.state_dict())
         params = convert_dit(sd, cfg)
         qk = params["blocks"]["attn1"]["to_q"]["kernel"]
@@ -185,7 +221,147 @@ class TestCogVideoXFullLayout:
         assert not missing, f"converter never read: {missing[:10]}"
 
 
+class TestDA3FullLayout:
+    @pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "depth_anything_3")),
+        reason="reference absent",
+    )
+    def test_convert_da3_large_full_layout(self):
+        """DA3-Large post-remap module-tree layout through convert_da3."""
+        from test_da3_parity import _install_shims
+
+        _install_shims()
+        from depth_anything_3.model.cam_dec import CameraDec
+        from depth_anything_3.model.cam_enc import CameraEnc
+        from depth_anything_3.model.da3 import DepthAnything3Net
+        from depth_anything_3.model.dinov2.dinov2 import DinoV2
+        from depth_anything_3.model.dualdpt import DualDPT
+
+        from videogpa_tpu.models.da3.config import DA3Config
+        from videogpa_tpu.models.da3.convert import convert_da3
+
+        cfg = DA3Config.large()
+        orig_linspace = torch.linspace
+        try:
+            torch.linspace = lambda *a, **k: orig_linspace(
+                *a, **{**k, "device": "cpu"}
+            )
+            with torch.device("meta"):
+                net = DinoV2(
+                    name="vitl", out_layers=list(cfg.out_layers),
+                    alt_start=cfg.alt_start, qknorm_start=cfg.alt_start,
+                    rope_start=cfg.alt_start, cat_token=True,
+                )
+                ref_net = DepthAnything3Net(
+                    net=net,
+                    head=DualDPT(
+                        dim_in=cfg.tokens_dim, output_dim=2,
+                        features=cfg.dpt_features,
+                        out_channels=cfg.dpt_out_channels,
+                    ),
+                    cam_dec=CameraDec(dim_in=cfg.tokens_dim),
+                    cam_enc=CameraEnc(dim_out=cfg.embed_dim),
+                )
+        finally:
+            torch.linspace = orig_linspace
+
+        sd = _zeros_sd(ref_net.state_dict())
+        params = convert_da3(sd, cfg)
+        qkv = params["backbone"]["blocks_pre"]["attn"]["qkv"]["kernel"]
+        assert qkv.shape == (cfg.alt_start, cfg.embed_dim, 3 * cfg.embed_dim)
+        assert len(params["backbone"]["blocks_alt"]) == cfg.depth - cfg.alt_start
+        # aux final-projection levels 0-2 are dead at inference: the reference
+        # only ever applies output_conv2_aux[-1] (model/dualdpt.py:249-255)
+        missing = [
+            k for k in sd
+            if k not in sd.used
+            and not k.startswith(
+                ("head.scratch.output_conv2_aux.0.",
+                 "head.scratch.output_conv2_aux.1.",
+                 "head.scratch.output_conv2_aux.2."))
+        ]
+        assert not missing, f"converter never read: {missing[:10]}"
+
+    @pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "depth_anything_3")),
+        reason="reference absent",
+    )
+    def test_normalize_matches_reference_remap(self):
+        """normalize_da3_state_dict vs the reference's model_loading remaps
+        on a synthetic raw-dump key set (utils/model_loading.py:25-88)."""
+        from test_da3_parity import _install_shims
+
+        _install_shims()
+        import importlib
+
+        ml = importlib.import_module("depth_anything_3.utils.model_loading")
+
+        from videogpa_tpu.models.da3.convert import normalize_da3_state_dict
+
+        raw_keys = [
+            "module.net.pretrained.blocks.0.attn.qkv.weight",
+            "module.net.pretrained.camera_token",  # deleted by the remap
+            "module.net.pretrained.camera_token_extra",
+            "module.all_heads.camera_cond_head.trunk.0.norm1.weight",
+            "module.all_heads.camera_head.fc_rot.weight",
+            "module.all_heads.camera_head.backbone.0.weight",
+            "module.all_heads.head.scratch.refinenet1_ray.out_conv.weight",
+            "module.all_heads.head.scratch.output_conv2_additional.sky_mask.0.weight",
+            "module.all_heads.head.projects.0.weight",
+            "module.gaussian_param_head.scratch.layer1_rn.weight",
+        ]
+        sd = {k: torch.zeros(1) for k in raw_keys}
+        ref_out = ml.convert_general_state_dict(dict(sd))
+        ours = normalize_da3_state_dict({k: np.zeros(1) for k in raw_keys})
+        # ours == reference remap with the api wrapper's "model." stripped
+        assert set(ours) == {k[len("model."):] for k in ref_out}
+        # metric variant adds the module. prefix first
+        no_prefix = {k[len("module."):]: torch.zeros(1) for k in sd}
+        ref_metric = ml.convert_metric_state_dict(dict(no_prefix))
+        ours_metric = normalize_da3_state_dict(
+            {k[len("module."):]: np.zeros(1) for k in sd}, is_metric=True
+        )
+        assert set(ours_metric) == {k[len("model."):] for k in ref_metric}
+        # the key remappings land on the module-tree names
+        assert "cam_dec.fc_qvec.weight" in ours
+        assert "head.scratch.refinenet1_aux.out_conv.weight" in ours
+        assert "head.scratch.sky_output_conv2.0.weight" in ours
+        assert "backbone.pretrained.camera_token" in ours  # from _extra
+        assert "gs_head.scratch.layer1_rn.weight" in ours
+
+
 class TestWanFullLayout:
+    def test_convert_wan_dit_full_5b_layout(self):
+        """Wan2.2-TI2V-5B DiT key layout (30 layers, dim 3072) at distinct
+        scaled widths — same rationale as the CogVideoX test above."""
+        import dataclasses
+
+        from test_wan_parity import WanOracle
+
+        from videogpa_tpu.models.wan.config import WanConfig
+        from videogpa_tpu.models.wan.convert import convert_wan
+
+        full = WanConfig.ti2v_5b()
+        cfg = dataclasses.replace(
+            full, dim=48, ffn_dim=80, num_heads=2, text_dim=24, freq_dim=16,
+        )
+        with torch.device("meta"):
+            oracle = WanOracle(cfg)
+            oracle_full = WanOracle(full)
+        sd_keys_full = set(oracle_full.state_dict())
+        assert set(oracle.state_dict()) == sd_keys_full
+        fsd = oracle_full.state_dict()
+        assert tuple(fsd["blocks.29.self_attn.q.weight"].shape) == (3072, 3072)
+        assert tuple(fsd["blocks.0.ffn.0.weight"].shape) == (full.ffn_dim, 3072)
+
+        sd = _zeros_sd(oracle.state_dict())
+        params = convert_wan(sd, cfg)
+        q = params["blocks"]["self_attn"]["q"]["kernel"]
+        assert q.shape == (cfg.num_layers, cfg.dim, cfg.dim)
+        # freqs is a derived rope buffer, not a checkpoint weight
+        missing = [k for k in sd if k not in sd.used and k != "freqs"]
+        assert not missing, f"converter never read: {missing[:10]}"
+
     def test_convert_wan_vae_full_layout(self):
         from test_wan_vae_parity import WanVAEOracle
 

@@ -86,6 +86,46 @@ def _convert_dualdpt(sd: Mapping[str, np.ndarray], cfg: DA3Config, pfx: str) -> 
     }
 
 
+def normalize_da3_state_dict(
+    sd: Mapping[str, np.ndarray], is_metric: bool = False
+) -> dict:
+    """Normalize raw DA3 training-dump checkpoints to the module-tree layout.
+
+    Mirrors reference ``utils/model_loading.py::convert_general_state_dict``
+    (:25-72) / ``convert_metric_state_dict`` (:75-88), then strips the api
+    wrapper's ``model.`` prefix (``api.py:89`` holds the net at
+    ``self.model``) so keys match what :func:`convert_da3` expects.
+    HF-hub checkpoints are already normalized — this is a no-op for them.
+    """
+    if is_metric:
+        sd = {"module." + k: v for k, v in sd.items()}
+    renames = [
+        ("module.", "model."),
+        (".net.", ".backbone."),
+        (".camera_token_extra", ".camera_token"),
+        ("model.all_heads.camera_cond_head", "model.cam_enc"),
+        ("model.all_heads.camera_head", "model.cam_dec"),
+        (".more_mlps.", ".backbone."),
+        (".fc_rot.", ".fc_qvec."),
+        ("model.all_heads.head", "model.head"),
+        ("output_conv2_additional.sky_mask", "sky_output_conv2"),
+        ("_ray.", "_aux."),
+        ("gaussian_param_head.", "gs_head."),
+    ]
+    out = dict(sd)
+    for old, new in renames:
+        out = {k.replace(old, new): v for k, v in out.items()}
+        # the old camera_token is deleted AFTER the module-prefix rename and
+        # BEFORE camera_token_extra takes its name (model_loading.py:39-45)
+        if old == ".net.":
+            out.pop("model.backbone.pretrained.camera_token", None)
+    # strip the DepthAnything3 wrapper prefix for our converters
+    return {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in out.items()
+    }
+
+
 def convert_camera_dec(sd: Mapping[str, np.ndarray], pfx: str = "cam_dec") -> dict:
     """CameraDec (reference ``model/cam_dec.py:19-45``)."""
     return {

@@ -111,10 +111,13 @@ def load_vggt(model_name_or_path: str = "facebook/VGGT-1B", cfg=None):
 
 def load_da3(model_name_or_path: str = "depth-anything/DA3-Large", cfg=None):
     from videogpa_tpu.models.da3.config import DA3Config
-    from videogpa_tpu.models.da3.convert import convert_da3
+    from videogpa_tpu.models.da3.convert import convert_da3, normalize_da3_state_dict
 
     cfg = cfg or DA3Config.large()
     sd = _to_f32(load_safetensors_dir(resolve_model_dir(model_name_or_path)))
+    if not any(k.startswith("backbone.") for k in sd):
+        # raw training-dump layout (module./model. prefixes, old head names)
+        sd = normalize_da3_state_dict(sd)
     return convert_da3(sd, cfg), cfg
 
 
