@@ -258,6 +258,49 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+class TestRingFlashRagged:
+    """Padded (non-divisible) N must KEEP the Pallas kernels: per-shard
+    validity is statically full/partial/empty, dispatched by lax.switch on
+    the rotating resident-shard id (ring_attention.py::_ring_forward)."""
+
+    @pytest.mark.parametrize("n", [300, 5])
+    def test_forward_matches_reference(self, n):
+        # n=300 over 4 shards: partial tail shard; n=5 over 4 shards of
+        # len 2: full, full, partial(1), fully-empty shard
+        from videogpa_tpu.ops.ring_attention import ring_attention_sharded
+        from videogpa_tpu.parallel.mesh import MeshAxes, make_mesh
+
+        mesh = make_mesh(MeshAxes(data=2, seq=4))
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, n, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, n, 64))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, n, 64))
+        out = ring_attention_sharded(q, k, v, mesh, impl="flash")
+        ref = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        from videogpa_tpu.ops.ring_attention import ring_attention_sharded
+        from videogpa_tpu.parallel.mesh import MeshAxes, make_mesh
+
+        mesh = make_mesh(MeshAxes(data=2, seq=4))
+        N = 300
+        q = jax.random.normal(jax.random.PRNGKey(5), (1, 2, N, 64))
+        k = jax.random.normal(jax.random.PRNGKey(6), (1, 2, N, 64))
+        v = jax.random.normal(jax.random.PRNGKey(7), (1, 2, N, 64))
+
+        def loss_ring(q, k, v):
+            return jnp.sum(ring_attention_sharded(q, k, v, mesh, impl="flash") ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v) ** 2)
+
+        g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 class TestRingRaggedAndDiT:
     def test_ring_ragged_matches_reference(self):
         """Padded (non-divisible) N through the rotating-mask path."""

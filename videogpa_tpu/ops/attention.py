@@ -878,19 +878,46 @@ def attention(
         bk = min(bk, 512)
     Nq_p, Nk_p = _round_up(Nq, bq), _round_up(Nk, bk)
 
-    def pad(x, n_to):
-        n = x.shape[2]
-        if n == n_to:
-            return x
-        return jnp.pad(x, ((0, 0), (0, 0), (0, n_to - n), (0, 0)))
+    def _call(q, k, v):
+        # shapes read inside: under shard_map these are the PER-DEVICE
+        # shards (batch/heads sharded); N stays global in both cases, so
+        # the block geometry above is valid either way
+        Bl, Hl = q.shape[:2]
 
-    qp = pad(q, Nq_p).reshape(B * H, Nq_p, D)
-    kp = pad(k, Nk_p).reshape(B * H, Nk_p, D)
-    vp = pad(v, Nk_p).reshape(B * H, Nk_p, D)
+        def pad(x, n_to):
+            n = x.shape[2]
+            if n == n_to:
+                return x
+            return jnp.pad(x, ((0, 0), (0, 0), (0, n_to - n), (0, 0)))
 
-    if impl == "flash_int8" and D < 128:
-        # inference-only quantized path (no vjp); see _flash_int8
-        out = _flash_int8(qp, kp, vp, Nk, bq, bk)
-    else:
-        out = _flash(qp, kp, vp, Nk, bq, bk)
-    return out.reshape(B, H, Nq_p, D)[:, :, :Nq]
+        qp = pad(q, Nq_p).reshape(Bl * Hl, Nq_p, D)
+        kp = pad(k, Nk_p).reshape(Bl * Hl, Nk_p, D)
+        vp = pad(v, Nk_p).reshape(Bl * Hl, Nk_p, D)
+
+        if impl == "flash_int8" and D < 128:
+            # inference-only quantized path (no vjp); see _flash_int8
+            out = _flash_int8(qp, kp, vp, Nk, bq, bk)
+        else:
+            out = _flash(qp, kp, vp, Nk, bq, bk)
+        return out.reshape(Bl, Hl, Nq_p, D)[:, :, :Nq]
+
+    # Mosaic kernels cannot be auto-partitioned by GSPMD: under an active
+    # mesh (tensor/data parallelism via jax.set_mesh) run the kernel
+    # per-shard with shard_map — batch rides the data axis and heads the
+    # model axis (the Megatron qkv column-sharding makes heads the natural
+    # TP dimension), so no collective is introduced by the wrap itself.
+    mesh = jax.sharding.get_abstract_mesh()
+    if not mesh.empty:
+        from jax.sharding import PartitionSpec as P
+
+        dp = mesh.shape.get("data", 1)
+        tp = mesh.shape.get("model", 1)
+        if dp > 1 or tp > 1:
+            bspec = "data" if dp > 1 and B % dp == 0 else None
+            hspec = "model" if tp > 1 and H % tp == 0 else None
+            spec = P(bspec, hspec, None, None)
+            return jax.shard_map(
+                _call, mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(q, k, v)
+    return _call(q, k, v)

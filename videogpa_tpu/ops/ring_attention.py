@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from videogpa_tpu.ops.attention import _flash_fwd, _round_up
+from videogpa_tpu.ops.attention import _flash_fwd, _flash_fwd_guarded, _round_up
+
+# finite stand-in for "no valid keys on this shard": keeps the logsumexp
+# merge nan-free (exp(-1e30 - x) == 0) while zeroing the shard's weight,
+# matching the XLA body's max clamp
+_EMPTY_LSE = -1e30
 
 
 def _attn_with_lse_xla(q, k, v, kv_mask=None) -> Tuple[jax.Array, jax.Array]:
@@ -47,9 +52,17 @@ def _attn_with_lse_xla(q, k, v, kv_mask=None) -> Tuple[jax.Array, jax.Array]:
     return o, lse
 
 
-def _attn_with_lse_flash(q, k, v, block_q=1024, block_k=1024):
+def _attn_with_lse_flash(q, k, v, n_valid=None, block_q=1024, block_k=1024):
+    """Pallas flash partial for one kv shard.
+
+    n_valid: STATIC valid-key prefix length within the shard (defaults to the
+    full shard) — the kernels' key masking is trace-time, so ragged ring
+    shards dispatch between the full/partial variants with ``lax.switch``
+    (see ``_ring_forward``) rather than threading a runtime mask.
+    """
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
+    nv = Nk if n_valid is None else n_valid
     bq = min(block_q, _round_up(Nq, 128))
     bk = min(block_k, _round_up(Nk, 128))
     Nq_p, Nk_p = _round_up(Nq, bq), _round_up(Nk, bk)
@@ -59,12 +72,14 @@ def _attn_with_lse_flash(q, k, v, block_q=1024, block_k=1024):
             x, ((0, 0), (0, 0), (0, n_to - x.shape[2]), (0, 0))
         )
 
-    out, lse = _flash_fwd(
+    fwd = _flash_fwd_guarded if D < 128 else _flash_fwd
+    res = fwd(
         pad(q, Nq_p).reshape(B * H, Nq_p, D),
         pad(k, Nk_p).reshape(B * H, Nk_p, D),
         pad(v, Nk_p).reshape(B * H, Nk_p, D),
-        Nk, bq, bk,
+        nv, bq, bk,
     )
+    out, lse = res[0], res[1]
     out = out.reshape(B, H, Nq_p, D)[:, :, :Nq]
     lse = lse.reshape(B, H, Nq_p, -1)[:, :, :Nq, 0]
     return out, lse
@@ -84,26 +99,83 @@ def _ring_perm(axis_name):
     return n_dev, [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
 
-def _ring_forward(axis_name, impl, use_mask, q, k, v, mask):
-    """Ring forward; returns (o, lse). mask: f32 (N/P,) key validity."""
+def _shard_validity(n_valid, shard_len):
+    """Static per-shard validity classes for a prefix-valid padded ring.
+
+    Shard r is fully valid when r < full_shards, a valid prefix of
+    partial_len keys when r == full_shards and partial_len > 0, and entirely
+    padding otherwise.  Both values are trace-time ints, so the flash
+    kernels keep their static key masks — the only runtime quantity is
+    WHICH shard is resident, dispatched with ``lax.switch``.
+    """
+    return divmod(n_valid, shard_len)
+
+
+def _resident_shard(axis_name, i, n_dev):
+    """Shard id held by this device at ring step i (rotation is j -> j+1)."""
+    return (jax.lax.axis_index(axis_name) - i) % n_dev
+
+
+def _validity_branch(r, full_shards, partial_len, n_branches):
+    """Branch index: 0 = full shard, then partial (if any), last = empty."""
+    empty = n_branches - 1
+    idx = jnp.where(r < full_shards, 0, empty)
+    if partial_len:
+        idx = jnp.where(r == full_shards, 1, idx)
+    return idx
+
+
+def _ring_forward(axis_name, impl, use_mask, n_valid, q, k, v, mask):
+    """Ring forward; returns (o, lse). mask: f32 (N/P,) key validity.
+
+    n_valid: static GLOBAL valid-token count (prefix of the padded
+    sequence); with impl="flash" ragged shards run the Pallas kernels via
+    the static-class switch instead of dropping to XLA.
+    """
     attn = _attn_with_lse_flash if impl == "flash" else _attn_with_lse_xla
     n_dev, perm = _ring_perm(axis_name)
 
     o = jnp.zeros(q.shape, q.dtype)
     lse = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
 
-    def body(i, carry):
-        o, lse, k_cur, v_cur, m_cur = carry
-        if use_mask:
-            o_i, lse_i = attn(q, k_cur, v_cur, kv_mask=m_cur > 0)
-        else:
-            o_i, lse_i = attn(q, k_cur, v_cur)
-        o, lse = _merge(o, lse, o_i, lse_i)
-        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-        if use_mask:
-            m_cur = jax.lax.ppermute(m_cur, axis_name, perm)
-        return o, lse, k_cur, v_cur, m_cur
+    if impl == "flash" and n_valid is not None:
+        full_shards, partial_len = _shard_validity(n_valid, k.shape[2])
+
+        def body(i, carry):
+            o, lse, k_cur, v_cur, m_cur = carry
+            branches = [lambda _: attn(q, k_cur, v_cur)]
+            if partial_len:
+                branches.append(
+                    lambda _: attn(q, k_cur, v_cur, n_valid=partial_len)
+                )
+            branches.append(
+                lambda _: (
+                    jnp.zeros(q.shape, q.dtype),
+                    jnp.full(q.shape[:-1], _EMPTY_LSE, jnp.float32),
+                )
+            )
+            r = _resident_shard(axis_name, i, n_dev)
+            idx = _validity_branch(r, full_shards, partial_len, len(branches))
+            o_i, lse_i = jax.lax.switch(idx, branches, None)
+            o, lse = _merge(o, lse, o_i, lse_i)
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            return o, lse, k_cur, v_cur, m_cur
+
+    else:
+
+        def body(i, carry):
+            o, lse, k_cur, v_cur, m_cur = carry
+            if use_mask:
+                o_i, lse_i = attn(q, k_cur, v_cur, kv_mask=m_cur > 0)
+            else:
+                o_i, lse_i = attn(q, k_cur, v_cur)
+            o, lse = _merge(o, lse, o_i, lse_i)
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            if use_mask:
+                m_cur = jax.lax.ppermute(m_cur, axis_name, perm)
+            return o, lse, k_cur, v_cur, m_cur
 
     o, lse, _, _, _ = jax.lax.fori_loop(0, n_dev, body, (o, lse, k, v, mask))
     return o, lse
@@ -134,30 +206,47 @@ def _bwd_step_xla(q, k_cur, v_cur, m_cur, g, lse, delta, use_mask):
     return dq_i, dk_i.astype(jnp.float32), dv_i
 
 
-def _bwd_step_flash(q, k_cur, v_cur, g, o, lse):
-    """Pallas flash backward for one (q-shard x kv-shard) pair."""
+def _bwd_step_flash(q, k_cur, v_cur, g, o, lse, n_valid=None):
+    """Pallas flash backward for one (q-shard x kv-shard) pair.
+
+    n_valid: STATIC valid-key prefix of the resident shard (see
+    ``_attn_with_lse_flash``); masked keys get p = exp2(-1e30 - lse) = 0 in
+    the recompute, so their dk/dv rows and dq contributions vanish exactly.
+    """
     from videogpa_tpu.ops.attention import _LSE_LANES, _flash_bwd
 
     B, H, Nq, D = q.shape
     Nk = k_cur.shape[2]
     bq = min(1024, _round_up(Nq, 128))
     bk = min(1024, _round_up(Nk, 128))
+    # explicit zero-pad to block multiples: partial boundary blocks would
+    # otherwise read out-of-bounds garbage, which the accumulating dkv grid
+    # then mixes into VALID rows (zero rows are exactly neutral: do=0 and
+    # delta=0 make ds and the dv contribution vanish)
+    Nq_p, Nk_p = _round_up(Nq, bq), _round_up(Nk, bk)
 
-    def flat(x):
-        return x.reshape(B * H, x.shape[2], -1)
+    def flat(x, n_to):
+        if x.shape[2] != n_to:
+            x = jnp.pad(
+                x, ((0, 0), (0, 0), (0, n_to - x.shape[2])) + ((0, 0),) * (x.ndim - 3)
+            )
+        return x.reshape(B * H, n_to, -1)
 
     lse_l = jnp.broadcast_to(lse[..., None], lse.shape + (_LSE_LANES,))
-    res = (flat(q), flat(k_cur), flat(v_cur), flat(o), flat(lse_l), Nk)
-    dq, dk, dv = _flash_bwd(res, flat(g), bq, bk)
-    shape_q, shape_k = q.shape, k_cur.shape
+    res = (
+        flat(q, Nq_p), flat(k_cur, Nk_p), flat(v_cur, Nk_p), flat(o, Nq_p),
+        flat(lse_l, Nq_p),
+        Nk if n_valid is None else n_valid,
+    )
+    dq, dk, dv = _flash_bwd(res, flat(g, Nq_p), bq, bk)
     return (
-        dq.reshape(shape_q),
-        dk.reshape(shape_k).astype(jnp.float32),
-        dv.reshape(shape_k).astype(jnp.float32),
+        dq.reshape(B, H, Nq_p, D)[:, :, :Nq],
+        dk.reshape(B, H, Nk_p, D)[:, :, :Nk].astype(jnp.float32),
+        dv.reshape(B, H, Nk_p, D)[:, :, :Nk].astype(jnp.float32),
     )
 
 
-def _ring_backward(axis_name, impl, use_mask, res, g):
+def _ring_backward(axis_name, impl, use_mask, n_valid, res, g):
     q, k, v, mask, o, lse = res
     n_dev, perm = _ring_perm(axis_name)
     delta = jnp.sum(
@@ -168,9 +257,33 @@ def _ring_backward(axis_name, impl, use_mask, res, g):
     dk0 = jnp.zeros(k.shape, jnp.float32)
     dv0 = jnp.zeros(v.shape, jnp.float32)
 
+    flash = impl == "flash" and (not use_mask or n_valid is not None)
+    if flash and n_valid is not None:
+        full_shards, partial_len = _shard_validity(n_valid, k.shape[2])
+
     def body(i, carry):
         dq, k_cur, v_cur, dk, dv, m_cur = carry
-        if impl == "flash" and not use_mask:
+        if flash and n_valid is not None:
+            branches = [
+                lambda _: _bwd_step_flash(q, k_cur, v_cur, g, o, lse)
+            ]
+            if partial_len:
+                branches.append(
+                    lambda _: _bwd_step_flash(
+                        q, k_cur, v_cur, g, o, lse, n_valid=partial_len
+                    )
+                )
+            branches.append(
+                lambda _: (
+                    jnp.zeros(q.shape, q.dtype),
+                    jnp.zeros(k.shape, jnp.float32),
+                    jnp.zeros(v.shape, jnp.float32),
+                )
+            )
+            r = _resident_shard(axis_name, i, n_dev)
+            idx = _validity_branch(r, full_shards, partial_len, len(branches))
+            dq_i, dk_i, dv_i = jax.lax.switch(idx, branches, None)
+        elif flash:
             dq_i, dk_i, dv_i = _bwd_step_flash(q, k_cur, v_cur, g, o, lse)
         else:
             dq_i, dk_i, dv_i = _bwd_step_xla(
@@ -200,14 +313,14 @@ def _ring_backward(axis_name, impl, use_mask, res, g):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _ring(axis_name, impl, use_mask, q, k, v, mask):
-    o, _ = _ring_forward(axis_name, impl, use_mask, q, k, v, mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _ring(axis_name, impl, use_mask, n_valid, q, k, v, mask):
+    o, _ = _ring_forward(axis_name, impl, use_mask, n_valid, q, k, v, mask)
     return o
 
 
-def _ring_vjp_fwd(axis_name, impl, use_mask, q, k, v, mask):
-    o, lse = _ring_forward(axis_name, impl, use_mask, q, k, v, mask)
+def _ring_vjp_fwd(axis_name, impl, use_mask, n_valid, q, k, v, mask):
+    o, lse = _ring_forward(axis_name, impl, use_mask, n_valid, q, k, v, mask)
     return o, (q, k, v, mask, o, lse)
 
 
@@ -216,7 +329,7 @@ _ring.defvjp(_ring_vjp_fwd, _ring_backward)
 
 def ring_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
-    impl: str = "auto", kv_mask: jax.Array = None,
+    impl: str = "auto", kv_mask: jax.Array = None, n_valid: int = None,
 ) -> jax.Array:
     """Sequence-sharded attention body (call inside shard_map).
 
@@ -224,17 +337,32 @@ def ring_attention(
         q, k, v: per-device shards (B, H, N/P, D).
         axis_name: mesh axis carrying the sequence shards.
         kv_mask: optional (N/P,) bool key-validity shard — rotates around the
-            ring with K/V so ragged (padded) sequences stay exact. Masked
-            paths use the XLA with-lse body (the flash kernel's key mask is
-            a trace-time constant, incompatible with a rotating mask).
+            ring with K/V so ARBITRARY raggedness stays exact; this general
+            path uses the XLA with-lse body (a runtime mask can't feed the
+            kernels' trace-time key masking).
+        n_valid: optional STATIC count of valid tokens in the global padded
+            sequence (a valid PREFIX — the layout ``ring_attention_sharded``
+            produces). Keeps the Pallas flash kernels on ragged shapes: each
+            resident shard is statically full / partial / empty, and a
+            ``lax.switch`` on the rotating shard id picks the right
+            statically-masked kernel. Mutually exclusive with kv_mask.
 
     Returns:
         per-device output shard (B, H, N/P, D).
     """
+    if kv_mask is not None and n_valid is not None:
+        raise ValueError("pass kv_mask or n_valid, not both")
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if kv_mask is not None:
         impl = "xla"
+    if n_valid is not None and impl != "flash":
+        # non-kernel body: realize the prefix validity as this shard's slice
+        # of the global mask (rotates with K/V like any kv_mask)
+        L = k.shape[2]
+        my = jax.lax.axis_index(axis_name)
+        kv_mask = (jnp.arange(L) + my * L) < n_valid
+        n_valid = None
     use_mask = kv_mask is not None
     # the dummy must be full-shaped: shard_map infers residual shardings per
     # rank, and a 0-sized stand-in picks up a bogus all-axes spec
@@ -243,7 +371,7 @@ def ring_attention(
         if use_mask
         else jnp.ones((k.shape[2],), jnp.float32)
     )
-    return _ring(axis_name, impl, use_mask, q, k, v, mask)
+    return _ring(axis_name, impl, use_mask, n_valid, q, k, v, mask)
 
 
 def ring_attention_sharded(
@@ -257,7 +385,9 @@ def ring_attention_sharded(
     """shard_map wrapper: (B, H, N, D) global arrays, N sharded over seq_axis.
 
     N is padded to a multiple of the seq-axis size automatically; padded
-    keys are excluded via a rotating validity mask (exact softmax).
+    keys are excluded exactly — via the static shard-validity switch on the
+    flash path (kernel speed preserved on ragged shapes) or a rotating
+    boolean mask on the XLA path.
     """
     n_seq = mesh.shape[seq_axis]
     B, H, N, D = q.shape
@@ -273,14 +403,13 @@ def ring_attention_sharded(
 
     pad = ((0, 0), (0, 0), (0, N_pad - N), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    mask = jnp.arange(N_pad) < N
     fn = jax.shard_map(
-        lambda q, k, v, m: ring_attention(
-            q, k, v, axis_name=seq_axis, impl=impl, kv_mask=m
+        lambda q, k, v: ring_attention(
+            q, k, v, axis_name=seq_axis, impl=impl, n_valid=N
         ),
         mesh=mesh,
-        in_specs=(spec, spec, spec, P(seq_axis)),
+        in_specs=(spec, spec, spec),
         out_specs=spec,
         check_vma=False,
     )
-    return fn(qp, kp, vp, mask)[:, :, :N]
+    return fn(qp, kp, vp)[:, :, :N]
