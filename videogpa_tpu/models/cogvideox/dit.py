@@ -249,6 +249,27 @@ def _block_apply(p, hidden, encoder, temb, cfg, rope, attn_impl,
     return hidden, encoder
 
 
+def _seq_shard(x: jax.Array) -> jax.Array:
+    """Megatron-style sequence parallelism for the residual stream.
+
+    Under an active tensor-parallel mesh, the scan-carry activations — which
+    are exactly the per-layer residuals ``jax.checkpoint`` keeps alive for
+    the backward pass — are constrained to (data, model)-sharded layout, so
+    each device stores 1/(dp*tp) of them. XLA/GSPMD turns the surrounding
+    collectives into the all-gather (into qkv) / reduce-scatter (out of the
+    row-parallel projections) pair; same ICI bytes as the plain Megatron
+    all-reduce. Activation memory is the binding constraint of the 5B DPO
+    step on 16 GB chips (see videogpa_tpu/train/memory.py).
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or mesh.shape.get("model", 1) <= 1:
+        return x
+    bspec = "data" if mesh.shape.get("data", 1) > 1 else None
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.PartitionSpec(bspec, "model", None)
+    )
+
+
 def dit_forward(
     params: dict,
     hidden_states: jax.Array,
@@ -332,12 +353,12 @@ def dit_forward(
         h, e = _block_apply(
             layer_params, h, e, temb, cfg, rope, attn_impl, layer_lora, lora_scaling
         )
-        return (h, e), None
+        return (_seq_shard(h), _seq_shard(e)), None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
     xs = (params["blocks"], lora) if lora is not None else params["blocks"]
-    (x, encoder), _ = jax.lax.scan(body, (x, encoder), xs)
+    (x, encoder), _ = jax.lax.scan(body, (_seq_shard(x), _seq_shard(encoder)), xs)
 
     # 4. output head
     joint = jnp.concatenate([encoder, x], axis=1)

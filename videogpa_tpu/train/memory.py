@@ -1,0 +1,185 @@
+"""AOT memory proof for the sharded 5B DPO train step.
+
+The reference trains CogVideoX-5B DPO on 8 GPUs with Lightning DDP
+(``train/CogVideoX-I2V-5B/03_train.py:249-258``).  On one 16 GB v5e the
+measured step needs ~25.5 GB HBM, so — like the reference — the 5B recipe
+requires the mesh.  This module *proves* the sharded step fits without any
+multi-chip hardware: the train step is AOT-lowered against abstract
+``jax.ShapeDtypeStruct`` params/batch (no weights ever materialize) and
+compiled either
+
+- compile-only against a real TPU topology (``v5e:2x4`` via
+  ``jax.experimental.topologies``) — real XLA:TPU buffer assignment, real
+  Pallas flash kernels, real per-device HBM figures; or
+- against the virtual 8-device CPU mesh (driver dryrun fallback).
+
+``compiled.memory_analysis()`` then reports per-device peak bytes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache: the full 5B train-step compile takes
+    ~8 min; with the cache the driver's dryrun re-run is near-instant."""
+    if jax.config.jax_compilation_cache_dir:
+        return
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - older jax knob names
+        pass
+
+from videogpa_tpu.models.cogvideox.config import CogVideoXConfig
+from videogpa_tpu.models.cogvideox.dit import dit_init
+from videogpa_tpu.parallel.mesh import MeshAxes, make_mesh
+from videogpa_tpu.parallel.sharding import batch_specs, dit_param_specs
+from videogpa_tpu.train.lora import lora_init
+from videogpa_tpu.train.trainer import (
+    TrainerConfig,
+    init_train_state,
+    make_dpo_train_step_unbound,
+)
+
+
+def _sds(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """Attach NamedShardings to a tree of ShapeDtypeStructs."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, s)
+        ),
+        tree,
+        specs,
+    )
+
+
+def tpu_topology_mesh(topology: str = "v5e:2x4", dp: int = 2) -> Mesh:
+    """dp x tp mesh over a compile-only TPU topology (no chips needed)."""
+    from jax.experimental import topologies
+
+    topo = topologies.get_topology_desc(topology, "tpu")
+    n = len(topo.devices)
+    return make_mesh(MeshAxes(data=dp, model=n // dp), devices=topo.devices)
+
+
+def aot_train_memory(
+    cfg: Optional[CogVideoXConfig] = None,
+    tcfg: Optional[TrainerConfig] = None,
+    mesh: Optional[Mesh] = None,
+    batch_size: int = 2,
+) -> Dict[str, Any]:
+    """AOT-compile the DPO train step with abstract inputs; return memory stats.
+
+    ``batch_size`` is the GLOBAL preference-pair batch (sharded over the
+    ``data`` axis).  Default cfg/tcfg is the real CogVideoX-5B-I2V operating
+    point: 42 layers, hidden 3072, 49f@480x720 latents (17,776 tokens with
+    text), LoRA r=64, remat, bf16 base — reference
+    ``train/CogVideoX-I2V-5B/03_train.py:39-80``.
+    """
+    _enable_compile_cache()
+    if cfg is None:
+        cfg = CogVideoXConfig.cogvideox_5b_i2v()
+    if tcfg is None:
+        tcfg = TrainerConfig(
+            lora_rank=64,
+            lora_alpha=128.0,
+            compute_dtype=jnp.bfloat16,
+            remat=True,
+            attn_impl="flash",
+        )
+    if mesh is None:
+        mesh = tpu_topology_mesh()
+
+    key0 = jax.random.PRNGKey(0)
+    base_shapes = jax.eval_shape(
+        lambda k: dit_init(k, cfg, dtype=jnp.bfloat16), key0
+    )
+    base_sds = _sds(base_shapes, dit_param_specs(base_shapes), mesh)
+
+    lora_shapes = jax.eval_shape(
+        lambda k: lora_init(k, cfg.num_layers, cfg.hidden_dim, rank=tcfg.lora_rank),
+        key0,
+    )
+    state_shapes = jax.eval_shape(lambda l: init_train_state(l, tcfg), lora_shapes)
+    state_sds = _sds(
+        state_shapes,
+        jax.tree_util.tree_map(lambda _: P(), state_shapes),
+        mesh,
+    )
+
+    B = batch_size
+    batch_shapes = {
+        "x_win": jax.ShapeDtypeStruct(
+            (B, cfg.out_channels, cfg.sample_frames, cfg.sample_height, cfg.sample_width),
+            jnp.float32,
+        ),
+        "x_lose": jax.ShapeDtypeStruct(
+            (B, cfg.out_channels, cfg.sample_frames, cfg.sample_height, cfg.sample_width),
+            jnp.float32,
+        ),
+        "prompt_emb": jax.ShapeDtypeStruct(
+            (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
+        ),
+    }
+    batch_sds = _sds(batch_shapes, batch_specs(batch_shapes), mesh)
+    key_sds = jax.ShapeDtypeStruct(key0.shape, key0.dtype)
+
+    train_step, _ = make_dpo_train_step_unbound(cfg, tcfg)
+    # set_mesh makes the mesh visible to trace-time sharding decisions (the
+    # sequence-parallel residual constraints in dit_forward and the
+    # shard_map wrap around the Pallas kernels read the abstract mesh)
+    with jax.set_mesh(mesh):
+        compiled = train_step.lower(
+            base_sds, None, state_sds, batch_sds, key_sds
+        ).compile()
+    ma = compiled.memory_analysis()
+    # conservative per-device HBM: persistent argument buffers + the temp
+    # arena + outputs, minus donated aliases. ma.peak_memory_in_bytes lets
+    # argument buffers expire at last use, which PJRT's runtime does not.
+    total = (
+        ma.argument_size_in_bytes
+        + ma.temp_size_in_bytes
+        + ma.output_size_in_bytes
+        - ma.alias_size_in_bytes
+    )
+    stats = {
+        "platform": mesh.devices.flat[0].platform,
+        "mesh": {a: int(s) for a, s in zip(mesh.axis_names, mesh.devices.shape)},
+        "global_batch_pairs": B,
+        "tokens": cfg.sample_frames
+        * (cfg.sample_height // cfg.patch_size)
+        * (cfg.sample_width // cfg.patch_size)
+        + cfg.max_text_seq_length,
+        "attn_impl": tcfg.attn_impl,
+        "per_device_hbm_bytes": int(total),
+        "per_device_hbm_gib": round(total / 2**30, 3),
+        "peak_heap_gib": round(ma.peak_memory_in_bytes / 2**30, 3),
+        "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+        "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+        "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
+        "alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
+    }
+    return stats
+
+
+if __name__ == "__main__":
+    import json
+
+    # eager constants (scheduler tables) go to CPU; the TPU topology client
+    # is compile-only and independent of the default platform. Without this
+    # the first jnp op initializes the (slow, remote) axon device client.
+    jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(aot_train_memory(), indent=2))

@@ -112,17 +112,16 @@ def _i2v_condition(
     return jnp.concatenate([lat, pad], axis=1)
 
 
-def make_dpo_train_step(
-    base_params,
-    cfg: CogVideoXConfig,
-    tcfg: TrainerConfig,
-    vae_params=None,
-):
-    """Build the jitted DPO train step.
+def make_dpo_train_step_unbound(cfg: CogVideoXConfig, tcfg: TrainerConfig):
+    """Build the jitted DPO train step with base/vae params UNBOUND.
 
-    Returns step_fn(state, batch, key) -> (state, metrics). Batch keys:
-    x_win/x_lose (B, C, F, H, W) latents, prompt_emb (B, L, D), optional
-    image_emb (B, 3, H, W).
+    Returns (train_step, eval_step) with signature
+    ``step(base_params, vae_params, state, batch, key)``.  The unbound form
+    exists so the step can be AOT-lowered against abstract
+    ``jax.ShapeDtypeStruct`` params (the 5B memory proof) without ever
+    materializing the weights; ``make_dpo_train_step`` binds concrete params
+    for normal use.  Batch keys: x_win/x_lose (B, C, F, H, W) latents,
+    prompt_emb (B, L, D), optional image_emb (B, 3, H, W).
     """
     scheduler = CogVideoXScheduler()
     loss_fn_obj = DPOLoss(beta=tcfg.beta)
@@ -230,6 +229,20 @@ def make_dpo_train_step(
         _, metrics = shared_step(base_p, vae_p, state.lora, batch, key)
         return metrics
 
+    return _train_step, _eval_step
+
+
+def make_dpo_train_step(
+    base_params,
+    cfg: CogVideoXConfig,
+    tcfg: TrainerConfig,
+    vae_params=None,
+):
+    """Bind concrete base/vae params over the unbound step.
+
+    Returns step_fn(state, batch, key) -> (state, metrics).
+    """
+    _train_step, _eval_step = make_dpo_train_step_unbound(cfg, tcfg)
     train_step = functools.partial(_train_step, base_params, vae_params)
     eval_step = functools.partial(_eval_step, base_params, vae_params)
     return train_step, eval_step
