@@ -37,6 +37,11 @@ import numpy as np
 
 BASELINE_STEPS_PER_SEC = 0.15  # A100-class diffusers estimate (see docstring)
 H100_ESTIMATE_STEPS_PER_SEC = 0.20  # round-1 denominator, kept for comparison
+# A100-class denominators for the other two headline metrics, derived from
+# exact step-FLOP counts at the same publicly-anchored 97.7 TF/s stack
+# throughput as the CogVideoX number (BASELINE.md "Round-3 denominators"):
+WAN_BASELINE_STEPS_PER_SEC = 0.17  # 580.8 TFLOP/step (CFG pair, 81f@704x1280)
+REWARD_BASELINE_CLIPS_PER_MIN = 40.0  # ~1.5 s/clip reference pipeline on A100
 
 
 def bench_denoise(attn_impl="auto"):
@@ -70,7 +75,15 @@ def bench_denoise(attn_impl="auto"):
     return 1.0 / dt, dt
 
 
-def bench_reward():
+def bench_reward(attn_impl="auto", params=None):
+    """Returns (single clips/min, batched clips/min, per-clip score dict).
+
+    attn_impl="flash_int8" benches the SageAttention-style int8-QK scoring
+    mode: the VGGT trunk is head_dim 64 — exactly the geometry the int8
+    kernel doubles — and scoring only RANKS candidate videos, the most
+    quantization-tolerant consumer in the system. The returned score dict
+    lets the caller report int8-vs-exact score drift alongside the speed.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +98,8 @@ def bench_reward():
     from videogpa_tpu.reward import VideoProcessor
 
     cfg = VGGTConfig()
-    params = vggt_init(jax.random.PRNGKey(0), cfg)
+    if params is None:
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
     metrics = {
         "MSE": MSEMetric(),
         "Consistency_Score": ConsistencyScore(None),
@@ -93,15 +107,16 @@ def bench_reward():
         "PSNR": PSNRMetric(),
         "SSIM": SSIMMetric(),
     }
-    vp = VideoProcessor(metrics, params=params, config=cfg)
+    vp = VideoProcessor(metrics, params=params, config=cfg, attn_impl=attn_impl)
     frames = np.random.default_rng(0).integers(
         0, 255, (10, 518, 518, 3), dtype=np.uint8
     )
     vp.process_frames(frames, thresholds=[0])  # compile
     t0 = time.perf_counter()
     n_iter = 3  # single-clip timing is tunnel-latency noisy; average
+    scores = None
     for _ in range(n_iter):
-        vp.process_frames(frames, thresholds=[0])
+        scores = vp.process_frames(frames, thresholds=[0])
     dt = (time.perf_counter() - t0) / n_iter
 
     # batched scoring throughput (K clips per device program)
@@ -114,7 +129,7 @@ def bench_reward():
     out = runb(vp.params, images)
     s = float(np.asarray(jnp.sum(out["reprojected"])))
     dtb = time.perf_counter() - t0
-    return 60.0 / dt, K * 60.0 / dtb
+    return 60.0 / dt, K * 60.0 / dtb, scores[0]
 
 
 def bench_wan():
@@ -195,91 +210,157 @@ def _bench_train_cfg(cfg):
 
 
 def bench_overlap():
-    """Generate+score combined throughput: overlapped vs sequential.
+    """Full-scale generate+score pipeline: reference two-phase semantics vs
+    the TPU-native device-resident stream.
 
-    The BASELINE.md north star collapses replicate.sh's two-phase structure
-    (generate all clips, then score all clips, reference replicate.sh:73-103)
-    into one stream: reward scoring is dispatched while the next clip's
-    denoising runs. Sampler and scorer are separate jitted programs; on one
-    chip the overlap win comes from pipelining host->device frame transfers
-    (~50 MB/s tunnel here, 32 MB per 10-frame clip) and dispatch gaps behind
-    DiT compute via async dispatch. On a pod the same structure schedules the
-    two programs on disjoint mesh slices.
+    Per clip, BOTH modes run the REAL flagship stages: CogVideoX-5B DiT
+    denoise steps (CFG pair, 17,776 tokens), full tiled 3D-causal-VAE decode
+    to 49f@480x720, frame sampling/crop/resize to 10x518x518, and VGGT-1B
+    scoring.
 
-    Uses a CogVideoX-2B-scale DiT + full VGGT-1B (both resident in HBM).
-    Returns (sequential clips/min, overlapped clips/min).
+    - sequential mirrors the reference's file round-trip
+      (replicate.sh:73-103: generate writes mp4s, the scorer re-reads them):
+      the decoded video is pulled to host (the "mp4 write"), frames are
+      sampled host-side (decord+numpy in the reference) and re-uploaded for
+      scoring, with a full sync between phases.
+    - overlapped keeps the video DEVICE-RESIDENT end to end: the decoded
+      tiles are stitched on device (vae_decode_tiled), frames flow into the
+      scorer with no host hop at all, and the uint8 video download for
+      archival (the only host artifact) is dispatched asynchronously behind
+      the next clip's denoise compute. On a pod the same structure schedules
+      sampler and scorer on disjoint mesh slices.
+
+    Set VIDEOGPA_BENCH_OVERLAP_STEPS (default 2) for the denoise steps per
+    clip and VIDEOGPA_BENCH_OVERLAP_CLIPS (default 2).
+    Returns (sequential clips/min, overlapped clips/min, decomposition).
     """
     import jax
     import jax.numpy as jnp
 
     from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_forward, dit_init
+    from videogpa_tpu.models.cogvideox.vae import vae_decode_tiled, vae_init
     from videogpa_tpu.models.vggt import VGGTConfig, vggt_init
+    from videogpa_tpu.ops.resize import resize_bilinear
     from videogpa_tpu.reward import VideoProcessor
 
-    cfg = CogVideoXConfig.cogvideox_2b()
+    cfg = CogVideoXConfig.cogvideox_5b()
     dit = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    vcfg = VGGTConfig()
-    vp = VideoProcessor(
-        {"MSE": None}, params=vggt_init(jax.random.PRNGKey(1), vcfg), config=vcfg
+    vae = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), vae_init(jax.random.PRNGKey(1), cfg)
     )
+    vcfg = VGGTConfig()
+    vggt = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), vggt_init(jax.random.PRNGKey(2), vcfg)
+    )
+    vp = VideoProcessor({"MSE": None}, params=vggt, config=vcfg)
     scorer = vp._device_fn(0.0)
 
     B, F = 2, 13
-    txt = jax.random.normal(jax.random.PRNGKey(2), (B, 226, 4096), jnp.bfloat16)
+    txt = jax.random.normal(jax.random.PRNGKey(3), (B, 226, 4096), jnp.bfloat16)
     t = jnp.full((B,), 500)
-    steps_per_clip = 3
+    steps_per_clip = int(os.environ.get("VIDEOGPA_BENCH_OVERLAP_STEPS", "2"))
+    n_clips = int(os.environ.get("VIDEOGPA_BENCH_OVERLAP_CLIPS", "2"))
+    tile = int(os.environ.get("VIDEOGPA_VAE_TILE", "16"))
 
     denoise = jax.jit(
         lambda p, x: dit_forward(p, x, txt, t, cfg).astype(jnp.bfloat16)[
             :, :, : cfg.in_channels
         ]
     )
-    rng = np.random.default_rng(0)
-    n_clips = 4
-    frames_host = [
-        (rng.standard_normal((10, 3, 518, 518)) * 0.2 + 0.5).astype(np.float32)
-        for _ in range(n_clips)
-    ]
-    x0 = jax.random.normal(jax.random.PRNGKey(3), (B, F, cfg.in_channels, 60, 90), jnp.bfloat16)
 
-    def run_clip_compute(x):
+    n_score_frames = 10
+
+    @jax.jit
+    def to_score_frames(video):
+        # (1, 3, 49, 480, 720) [-1,1] -> (1, 10, 3, 518, 518) [0,1] on device
+        T = video.shape[2]
+        idx = jnp.linspace(0, T - 1, n_score_frames).round().astype(jnp.int32)
+        frames = video[0, :, idx]  # (10, 3, 480, 720)
+        Hh, Ww = frames.shape[-2:]
+        side = min(Hh, Ww)
+        y0, x0_ = (Hh - side) // 2, (Ww - side) // 2
+        crop = frames[..., y0 : y0 + side, x0_ : x0_ + side]
+        out = resize_bilinear(crop.astype(jnp.float32), (518, 518))
+        return (jnp.clip(out, -1, 1)[None] + 1.0) / 2.0
+
+    @jax.jit
+    def to_u8(video):
+        return jnp.clip((video + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+    resize_up = jax.jit(lambda v: resize_bilinear(v, (518, 518)))
+
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(4), (B, F, cfg.in_channels, 60, 90), jnp.bfloat16
+    )
+
+    def run_denoise(x):
         for _ in range(steps_per_clip):
             x = denoise(dit, x)
         return x
 
-    # warm up both programs (compile)
-    jax.block_until_ready(run_clip_compute(x0))
-    warm = scorer(vp.params, jax.device_put(jnp.asarray(frames_host[0])))
-    float(np.asarray(jnp.sum(warm["reprojected"])))
+    def decode(x):
+        lat = jnp.transpose(x[:1], (0, 2, 1, 3, 4))  # (1, C, F, h, w)
+        return vae_decode_tiled(params=vae, latents=lat, cfg=cfg, tile_latent=tile)
 
     def reward_sum(out):
         return float(np.asarray(jnp.sum(out["reprojected"])))
 
-    # sequential: full sync between every phase (upload -> score -> denoise)
+    # warm up / compile every program
+    x = run_denoise(x0)
+    video = decode(x)
+    frames_dev = to_score_frames(video)
+    reward_sum(scorer(vp.params, frames_dev))
+    _ = np.asarray(to_u8(video))
+    float(np.asarray(jnp.sum(resize_up(jnp.zeros((1, 10, 3, 480, 480))))))
+
+    # --- sequential (reference file-round-trip semantics) ---
+    decomp = {}
     t0 = time.perf_counter()
     for i in range(n_clips):
-        x = jax.block_until_ready(run_clip_compute(x0))
-        dev = jax.block_until_ready(jax.device_put(jnp.asarray(frames_host[i])))
-        out = scorer(vp.params, dev)
+        t1 = time.perf_counter()
+        x = jax.block_until_ready(run_denoise(x0))
+        float(np.asarray(jnp.sum(x)))  # hard sync (axon block_until_ready caveat)
+        t2 = time.perf_counter()
+        video_host = np.asarray(to_u8(decode(x)))  # the "mp4 write" download
+        t3 = time.perf_counter()
+        # host-side frame sampling (the scorer re-reads the mp4)
+        idx = np.linspace(0, video_host.shape[2] - 1, n_score_frames).round().astype(int)
+        fr = video_host[0, :, idx]  # (10, 3, 480, 720) uint8
+        side = min(fr.shape[-2:])
+        y0, x0_ = (fr.shape[-2] - side) // 2, (fr.shape[-1] - side) // 2
+        fr = fr[..., y0 : y0 + side, x0_ : x0_ + side].astype(np.float32) / 255.0
+        up = resize_up(jax.device_put(jnp.asarray(fr[None])))
+        out = scorer(vp.params, up)
         reward_sum(out)
+        t4 = time.perf_counter()
+        decomp = {
+            "denoise_s": round(t2 - t1, 2),
+            "decode_and_download_s": round(t3 - t2, 2),
+            "score_s": round(t4 - t3, 2),
+        }
     dt_seq = time.perf_counter() - t0
 
-    # overlapped: async dispatch; frame upload and scorer dispatch ride
-    # behind the next clip's denoise compute; one sync at the end
+    # --- overlapped (device-resident; async archival download) ---
     t0 = time.perf_counter()
     outs = []
-    dev = jax.device_put(jnp.asarray(frames_host[0]))
+    pending_u8 = []
     for i in range(n_clips):
-        x = run_clip_compute(x0)  # queued, not synced
-        outs.append(scorer(vp.params, dev))
-        if i + 1 < n_clips:
-            dev = jax.device_put(jnp.asarray(frames_host[i + 1]))
+        x = run_denoise(x0)  # queued
+        video = decode(x)  # tiles stitch on device
+        outs.append(scorer(vp.params, to_score_frames(video)))
+        u8 = to_u8(video)
+        u8.copy_to_host_async()  # archival download hides behind next clip
+        pending_u8.append(u8)
     for out in outs:
         reward_sum(out)
-    jax.block_until_ready(x)
+    for u8 in pending_u8:
+        np.asarray(u8)
     dt_ovl = time.perf_counter() - t0
 
-    return n_clips * 60.0 / dt_seq, n_clips * 60.0 / dt_ovl
+    decomp["tile_latent"] = tile
+    decomp["steps_per_clip"] = steps_per_clip
+    decomp["n_clips"] = n_clips
+    return n_clips * 60.0 / dt_seq, n_clips * 60.0 / dt_ovl, decomp
 
 
 def main():
@@ -303,20 +384,39 @@ def main():
         except Exception as e:  # pragma: no cover - environment hiccups
             result["int8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_WAN") == "1":
-        result["wan_steps_per_sec"] = round(bench_wan(), 4)
+        wan_sps = bench_wan()
+        result["wan_steps_per_sec"] = round(wan_sps, 4)
+        result["wan_vs_baseline"] = round(wan_sps / WAN_BASELINE_STEPS_PER_SEC, 3)
     if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
-        single, batched = bench_reward()
+        single, batched, scores = bench_reward()
         result["reward_clips_per_min"] = round(single, 2)
         result["reward_clips_per_min_batched"] = round(batched, 2)
+        result["reward_vs_baseline"] = round(
+            batched / REWARD_BASELINE_CLIPS_PER_MIN, 3
+        )
+        try:
+            # int8-QK scoring mode + score drift vs exact on the same frames
+            s8, b8, scores8 = bench_reward(attn_impl="flash_int8")
+            result["reward_int8_clips_per_min_batched"] = round(b8, 2)
+            result["reward_int8_vs_baseline"] = round(
+                b8 / REWARD_BASELINE_CLIPS_PER_MIN, 3
+            )
+            cs, cs8 = scores["Consistency_Score"], scores8["Consistency_Score"]
+            result["reward_int8_consistency_drift"] = round(
+                abs(cs8 - cs) / max(abs(cs), 1e-9), 5
+            )
+        except Exception as e:  # pragma: no cover
+            result["reward_int8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_TRAIN") == "1":
         tps, tdt, scale = bench_train()
         result[f"dpo_steps_per_sec_{scale}"] = round(tps, 4)
         result[f"dpo_step_ms_{scale}"] = round(tdt * 1000, 1)
     if os.environ.get("VIDEOGPA_BENCH_OVERLAP") == "1":
-        seq, ovl = bench_overlap()
+        seq, ovl, decomp = bench_overlap()
         result["genscore_clips_per_min_sequential"] = round(seq, 2)
         result["genscore_clips_per_min_overlapped"] = round(ovl, 2)
         result["overlap_speedup"] = round(ovl / seq, 3)
+        result["overlap_decomposition"] = decomp
     print(json.dumps(result))
 
 

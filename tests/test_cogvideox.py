@@ -271,6 +271,43 @@ class TestVAETiling:
         corr = np.corrcoef(a, b)[0, 1]
         assert corr > 0.5, corr
 
+    def test_tiled_scan_matches_reference_blend(self):
+        """The single-program lax.scan stitcher must reproduce the
+        straightforward per-tile decode + host weighted blend exactly."""
+        from videogpa_tpu.models.cogvideox.vae import (
+            _ramp_1d_np, _tile_positions, vae_decode, vae_decode_tiled, vae_init,
+        )
+
+        cfg = CogVideoXConfig.tiny()
+        params = vae_init(jax.random.PRNGKey(0), cfg)
+        lat = jax.random.normal(
+            jax.random.PRNGKey(1), (1, cfg.vae_latent_channels, 2, 12, 16)
+        )
+        th = tw = 8
+        overlap = 4
+        sc = cfg.spatial_compression_ratio
+        got = np.asarray(
+            vae_decode_tiled(params, lat, cfg, tile_latent=8, overlap_latent=4)
+        )
+
+        pos_h = _tile_positions(12, th, overlap)
+        pos_w = _tile_positions(16, tw, overlap)
+        acc = np.zeros(got.shape, np.float32)
+        wacc = np.zeros(got.shape[-2:], np.float32)
+        for hi, i0 in enumerate(pos_h):
+            for wi, j0 in enumerate(pos_w):
+                tile = np.asarray(
+                    vae_decode(params, lat[:, :, :, i0 : i0 + th, j0 : j0 + tw], cfg)
+                )
+                wh = _ramp_1d_np(th * sc, hi == 0, hi == len(pos_h) - 1)
+                ww = _ramp_1d_np(tw * sc, wi == 0, wi == len(pos_w) - 1)
+                wmap = wh[:, None] * ww[None, :]
+                oi, oj = i0 * sc, j0 * sc
+                acc[..., oi : oi + th * sc, oj : oj + tw * sc] += tile * wmap
+                wacc[oi : oi + th * sc, oj : oj + tw * sc] += wmap
+        want = acc / np.maximum(wacc, 1e-8)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
     def test_tiled_encode_shape(self):
         from videogpa_tpu.models.cogvideox.vae import vae_encode_tiled, vae_init
 

@@ -207,6 +207,9 @@ def decode_latents(vae_params, latents: jax.Array, cfg: CogVideoXConfig) -> jax.
     for i, tile in enumerate(sizes):
         try:
             out = vae_decode_tiled(vae_params, z, cfg, tile_latent=tile)
+            # the tiled decode is one async-dispatched program now: sync
+            # here so a device OOM surfaces inside this try and can retry
+            jax.block_until_ready(out)
             return jnp.clip(out, -1.0, 1.0)
         except Exception as e:  # jaxlib runtime errors don't share a base
             oom = "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower()

@@ -21,6 +21,7 @@ onto the MXU; bf16 compute with f32 norm statistics.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -329,15 +330,6 @@ def vae_decode(params: dict, latents: jax.Array, cfg: CogVideoXConfig) -> jax.Ar
 # by decoding overlapping spatial tiles and linear-blending the seams)
 # ---------------------------------------------------------------------------
 
-def _blend_h(a: jax.Array, b: jax.Array, extent: int) -> jax.Array:
-    """Blend b's left columns into a's right columns with a linear ramp."""
-    ramp = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, 1, 1, -1)
-    left = a[..., -extent:]
-    right = b[..., :extent]
-    blended = left * (1 - ramp) + right * ramp
-    return jnp.concatenate([b[..., :0], blended, b[..., extent:]], axis=-1), blended
-
-
 def _tile_positions(size: int, tile: int, overlap: int):
     """Uniform-size tile start positions (last tile end-aligned) so only ONE
     tile shape is ever compiled."""
@@ -349,45 +341,112 @@ def _tile_positions(size: int, tile: int, overlap: int):
     return pos
 
 
-def _blend_tiles(tiles, positions_h, positions_w, tile_h, tile_w, out_h, out_w):
-    """Weighted-average stitching with linear ramps on overlapped borders."""
-    sample = tiles[(positions_h[0], positions_w[0])]
-    shape = sample.shape[:-2] + (out_h, out_w)
-    acc = np.zeros(shape, np.float32)
-    wacc = np.zeros((out_h, out_w), np.float32)
-
-    def ramp_1d(n, first, last):
-        w = np.ones(n, np.float32)
-        edge = min(n // 2, 16)
-        if not first:
-            w[:edge] = np.linspace(0, 1, edge, endpoint=False)
-        if not last:
-            w[-edge:] = np.linspace(1, 0, edge, endpoint=False)
-        return w
-
-    for hi, i0 in enumerate(positions_h):
-        for wi, j0 in enumerate(positions_w):
-            t = tiles[(i0, j0)].astype(np.float32)
-            wh = ramp_1d(tile_h, hi == 0, hi == len(positions_h) - 1)
-            ww = ramp_1d(tile_w, wi == 0, wi == len(positions_w) - 1)
-            wmap = wh[:, None] * ww[None, :]
-            acc[..., i0 : i0 + tile_h, j0 : j0 + tile_w] += t * wmap
-            wacc[i0 : i0 + tile_h, j0 : j0 + tile_w] += wmap
-    return acc / np.maximum(wacc, 1e-8)
+def _ramp_1d_np(n: int, first: bool, last: bool) -> np.ndarray:
+    """Linear border ramp for weighted tile stitching (16-sample edges)."""
+    w = np.ones(n, np.float32)
+    edge = min(n // 2, 16)
+    if not first:
+        w[:edge] = np.linspace(0, 1, edge, endpoint=False)
+    if not last:
+        w[-edge:] = np.linspace(1, 0, edge, endpoint=False)
+    return w
 
 
-# module-level jits so repeated tiled calls reuse the compiled tile program
-# (a per-call inner jit recompiled every invocation: ~100 s per call on the
-# remote-compile TPU backend vs 0.9 s of actual tile compute)
-_decode_tile_jit = jax.jit(
-    lambda params, z, cfg: vae_decode(params, z, cfg), static_argnums=(2,)
-)
-_encode_tile_jit = jax.jit(
-    lambda params, v, k, cfg, sample: vae_encode(
-        params, v, cfg, key=k, sample=sample
-    ),
-    static_argnums=(3, 4),
-)
+# Device-side weighted tile stitching: the ENTIRE tile loop runs as one
+# lax.scan inside one jit — tile positions and ramp weights are scan inputs,
+# the tile codec body compiles once, and the stitched output never leaves
+# the device. (Round 2 blended on host: each decoded tile took an np.array()
+# round-trip, ~660 MB of f32 over the ~50 MB/s axon tunnel for a
+# 49f@480x720 decode — 24 of the measured 25 s. An intermediate per-tile-jit
+# device design still paid 2 dispatch round-trips per tile, ~10 s on the
+# tunnel; the single-program scan removes the per-tile dispatch entirely.
+# Keeping the video device-resident also feeds the reward scorer directly
+# with no transfer at all; see bench_overlap.)
+
+
+def _tile_grid(H, W, th, tw, overlap):
+    pos_h = _tile_positions(H, th, overlap)
+    pos_w = _tile_positions(W, tw, overlap)
+    grid = [
+        (hi, wi, i0, j0)
+        for hi, i0 in enumerate(pos_h)
+        for wi, j0 in enumerate(pos_w)
+    ]
+    return pos_h, pos_w, grid
+
+
+def _ramp_stacks(grid, n_h, n_w, th_out, tw_out):
+    whs = np.stack(
+        [_ramp_1d_np(th_out, hi == 0, hi == n_h - 1) for hi, wi, _, _ in grid]
+    )
+    wws = np.stack(
+        [_ramp_1d_np(tw_out, wi == 0, wi == n_w - 1) for hi, wi, _, _ in grid]
+    )
+    return jnp.asarray(whs), jnp.asarray(wws)
+
+
+def _scan_stitch(tile_fn, src, xs, out_shape, tile_out_hw):
+    """lax.scan over tiles: slice src, apply tile_fn, weighted-accumulate.
+
+    xs = (i0s, j0s, whs, wws[, extras...]) with positions in OUTPUT cells.
+    tile_fn(src, i0, j0, *extras) -> (B, C, T_out, th_out, tw_out) tile.
+    """
+    th_out, tw_out = tile_out_hw
+
+    def body(carry, x):
+        acc, wacc = carry
+        i0, j0, wh, ww = x[:4]
+        tile = tile_fn(src, i0, j0, *x[4:])
+        wmap = wh[:, None] * ww[None, :]
+        cur = jax.lax.dynamic_slice(
+            acc, (0, 0, 0, i0, j0), acc.shape[:3] + (th_out, tw_out)
+        )
+        acc = jax.lax.dynamic_update_slice(
+            acc, cur + tile.astype(jnp.float32) * wmap, (0, 0, 0, i0, j0)
+        )
+        wcur = jax.lax.dynamic_slice(wacc, (i0, j0), (th_out, tw_out))
+        wacc = jax.lax.dynamic_update_slice(wacc, wcur + wmap, (i0, j0))
+        return (acc, wacc), None
+
+    acc = jnp.zeros(out_shape, jnp.float32)
+    wacc = jnp.zeros(out_shape[-2:], jnp.float32)
+    (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), xs)
+    return acc / jnp.maximum(wacc, 1e-8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _decode_tiled_jit(params, latents, cfg, th, tw, i0s, j0s, whs, wws):
+    B, C, T, H, W = latents.shape
+    sc = cfg.spatial_compression_ratio
+    T_out = (T - 1) * cfg.temporal_compression_ratio + 1
+
+    def tile_fn(src, oi, oj, li, lj):
+        z = jax.lax.dynamic_slice(src, (0, 0, 0, li, lj), (B, C, T, th, tw))
+        return vae_decode(params, z, cfg)
+
+    return _scan_stitch(
+        tile_fn, latents,
+        (i0s * sc, j0s * sc, whs, wws, i0s, j0s),
+        (B, 3, T_out, H * sc, W * sc), (th * sc, tw * sc),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _encode_tiled_jit(params, video, cfg, th, tw, sample, i0s, j0s, whs, wws, keys):
+    B, C, T, H, W = video.shape
+    sc = cfg.spatial_compression_ratio
+    T_lat = (T - 1) // cfg.temporal_compression_ratio + 1
+    zc = cfg.vae_latent_channels
+
+    def tile_fn(src, oi, oj, pi, pj, key):
+        v = jax.lax.dynamic_slice(src, (0, 0, 0, pi, pj), (B, C, T, th, tw))
+        return vae_encode(params, v, cfg, key=key, sample=sample)
+
+    return _scan_stitch(
+        tile_fn, video,
+        (i0s, j0s, whs, wws, i0s * sc, j0s * sc, keys),
+        (B, zc, T_lat, H // sc, W // sc), (th // sc, tw // sc),
+    )
 
 
 def vae_decode_tiled(
@@ -398,7 +457,8 @@ def vae_decode_tiled(
     overlap_latent: int = 8,
 ) -> jax.Array:
     """Spatially-tiled decode: uniform latent tiles (one compiled shape),
-    linear-ramp weighted stitching in pixel space."""
+    linear-ramp weighted stitching in pixel space — ONE jitted lax.scan over
+    the tile grid, fully on device (single dispatch, no host round-trip)."""
     B, C, T, H, W = latents.shape
     if H <= tile_latent and W <= tile_latent:
         return vae_decode(params, latents, cfg)
@@ -406,20 +466,11 @@ def vae_decode_tiled(
     th = min(tile_latent, H)
     tw = min(tile_latent, W)
 
-    decode_tile = lambda z: _decode_tile_jit(params, z, cfg)
-
-    pos_h = _tile_positions(H, th, overlap_latent)
-    pos_w = _tile_positions(W, tw, overlap_latent)
-    tiles = {}
-    for i0 in pos_h:
-        for j0 in pos_w:
-            out = np.array(decode_tile(latents[:, :, :, i0 : i0 + th, j0 : j0 + tw]))
-            tiles[(i0 * sc, j0 * sc)] = out
-    stitched = _blend_tiles(
-        tiles, [p * sc for p in pos_h], [p * sc for p in pos_w],
-        th * sc, tw * sc, H * sc, W * sc,
-    )
-    return jnp.asarray(stitched)
+    pos_h, pos_w, grid = _tile_grid(H, W, th, tw, overlap_latent)
+    whs, wws = _ramp_stacks(grid, len(pos_h), len(pos_w), th * sc, tw * sc)
+    i0s = jnp.asarray([i0 for _, _, i0, _ in grid], jnp.int32)
+    j0s = jnp.asarray([j0 for _, _, _, j0 in grid], jnp.int32)
+    return _decode_tiled_jit(params, latents, cfg, th, tw, i0s, j0s, whs, wws)
 
 
 def vae_encode_tiled(
@@ -431,7 +482,8 @@ def vae_encode_tiled(
     tile_pixels: int = 256,
     overlap_pixels: int = 64,
 ) -> jax.Array:
-    """Spatially-tiled encode: uniform pixel tiles, weighted latent stitching."""
+    """Spatially-tiled encode: uniform pixel tiles, weighted latent
+    stitching — one jitted lax.scan on device like the decode path."""
     B, C, T, H, W = video.shape
     if H <= tile_pixels and W <= tile_pixels:
         return vae_encode(params, video, cfg, key=key, sample=sample)
@@ -439,25 +491,22 @@ def vae_encode_tiled(
     th = min(tile_pixels, H)
     tw = min(tile_pixels, W)
 
-    encode_tile = lambda v, k: _encode_tile_jit(params, v, k, cfg, sample)
-
-    import jax as _jax
-
     if key is None:
-        key = _jax.random.PRNGKey(0)
+        key = jax.random.PRNGKey(0)
     pos_h = _tile_positions(H, th, overlap_pixels)
     pos_w = _tile_positions(W, tw, overlap_pixels)
     # positions must be /sc-aligned so latent tiles stitch on integer cells
-    pos_h = [p // sc * sc for p in pos_h]
-    pos_w = [p // sc * sc for p in pos_w]
-    tiles = {}
-    for i0 in pos_h:
-        for j0 in pos_w:
-            key, sub = _jax.random.split(key)
-            out = np.array(encode_tile(video[:, :, :, i0 : i0 + th, j0 : j0 + tw], sub))
-            tiles[(i0 // sc, j0 // sc)] = out
-    stitched = _blend_tiles(
-        tiles, [p // sc for p in pos_h], [p // sc for p in pos_w],
-        th // sc, tw // sc, H // sc, W // sc,
+    pos_h = sorted({p // sc for p in pos_h})
+    pos_w = sorted({p // sc for p in pos_w})
+    grid = [
+        (hi, wi, i0, j0)
+        for hi, i0 in enumerate(pos_h)
+        for wi, j0 in enumerate(pos_w)
+    ]
+    whs, wws = _ramp_stacks(grid, len(pos_h), len(pos_w), th // sc, tw // sc)
+    i0s = jnp.asarray([i0 for _, _, i0, _ in grid], jnp.int32)
+    j0s = jnp.asarray([j0 for _, _, _, j0 in grid], jnp.int32)
+    keys = jax.random.split(key, len(grid))
+    return _encode_tiled_jit(
+        params, video, cfg, th, tw, sample, i0s, j0s, whs, wws, keys
     )
-    return jnp.asarray(stitched)
