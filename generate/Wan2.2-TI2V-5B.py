@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--num_inference_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=5.0)
     parser.add_argument("--fps", type=int, default=24)
+    parser.add_argument(
+        "--solver", type=str, default="unipc",
+        choices=["unipc", "euler", "heun"],
+        help="flow solver; unipc matches the reference engine default",
+    )
     parser.add_argument("--base_dir", type=str, default=None)
     args = parser.parse_args()
 
@@ -108,6 +113,7 @@ def main():
                 jax.random.PRNGKey(args.seed), image=image, num_frames=81,
                 num_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
+                solver=args.solver,
             )
             v = np.asarray(video)[0]
             frames = ((v.transpose(1, 2, 3, 0) + 1) * 127.5).clip(0, 255).astype(np.uint8)

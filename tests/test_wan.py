@@ -150,7 +150,7 @@ class TestWanSolvers:
         ctx = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
         kwargs = dict(num_frames=5, height=32, width=32, num_steps=3)
         outs = {}
-        for solver in ("euler", "heun"):
+        for solver in ("euler", "heun", "unipc"):
             outs[solver] = sample_ti2v(
                 dit_params, vae_params, ctx, jnp.zeros_like(ctx), cfg,
                 jax.random.PRNGKey(4), solver=solver, **kwargs,
@@ -162,6 +162,125 @@ class TestWanSolvers:
         a = np.asarray(outs["euler"]).ravel()
         b = np.asarray(outs["heun"]).ravel()
         assert not np.allclose(a, b)
+
+    def _ref_unipc(self, x, num_steps, shift, v_fn, order=2):
+        """Independent numpy transcription of the stateful UniPC algorithm
+        (diffusers UniPCMultistepScheduler / Wan fm_solvers_unipc: bh2,
+        predict_x0, lower_order_final, flow matching alpha_t = 1 - sigma_t),
+        with general R-matrix solves — used as the oracle for the
+        closed-form coefficient tables in videogpa_tpu.models.wan.pipeline.
+        """
+        s = np.linspace(1.0, 0.0, num_steps + 1)
+        sig = shift * s / (1 + (shift - 1) * s)
+        with np.errstate(divide="ignore"):
+            lam = np.log((1.0 - sig) / sig)
+
+        def bh_terms(h, p, rks):
+            hh = -h
+            h_phi_1 = np.expm1(hh)
+            h_phi_k = h_phi_1 / hh - 1.0
+            B_h = np.expm1(hh)
+            R, b, fac = [], [], 1
+            for k in range(1, p + 1):
+                R.append(np.asarray(rks) ** (k - 1))
+                b.append(h_phi_k * fac / B_h)
+                fac *= k + 1
+                h_phi_k = h_phi_k / hh - 1.0 / fac
+            return h_phi_1, B_h, np.asarray(R), np.asarray(b)
+
+        mh, th = [], []  # x0-prediction history, newest last
+        last_sample, this_order_prev, lon = None, None, 0
+        for i in range(num_steps):
+            m = x - sig[i] * v_fn(x, sig[i])
+            if i > 0:  # corrector (order = previous step's predictor order)
+                p = this_order_prev
+                s0, t = i - 1, i
+                h = lam[t] - lam[s0]
+                rks, D1s = [], []
+                for k in range(1, p):
+                    si = th[-(k + 1)]
+                    rk = (lam[si] - lam[s0]) / h
+                    rks.append(rk)
+                    D1s.append((mh[-(k + 1)] - mh[-1]) / rk)
+                rks.append(1.0)
+                h_phi_1, B_h, R, b = bh_terms(h, p, rks)
+                rhos_c = (np.array([0.5]) if p == 1 else np.linalg.solve(R, b))
+                x_t_ = sig[t] / sig[s0] * last_sample - (1 - sig[t]) * h_phi_1 * mh[-1]
+                corr = sum(rhos_c[k] * D1s[k] for k in range(p - 1))
+                x = x_t_ - (1 - sig[t]) * B_h * (corr + rhos_c[-1] * (m - mh[-1]))
+            mh.append(m)
+            th.append(i)
+            if len(mh) > order:
+                mh.pop(0)
+                th.pop(0)
+            p = min(order, num_steps - i, lon + 1)
+            last_sample = x
+            # predictor
+            s0, t = i, i + 1
+            h = lam[t] - lam[s0]
+            rks, D1s = [], []
+            for k in range(1, p):
+                si = th[-(k + 1)]
+                rk = (lam[si] - lam[s0]) / h
+                rks.append(rk)
+                D1s.append((mh[-(k + 1)] - mh[-1]) / rk)
+            rks.append(1.0)
+            h_phi_1, B_h, R, b = bh_terms(h, p, rks)
+            x = sig[t] / sig[s0] * x - (1 - sig[t]) * h_phi_1 * mh[-1]
+            if p > 1:
+                rhos_p = (np.array([0.5]) if p == 2
+                          else np.linalg.solve(R[:-1, :-1], b[:-1]))
+                x = x - (1 - sig[t]) * B_h * sum(
+                    rhos_p[k] * D1s[k] for k in range(p - 1)
+                )
+            lon = min(lon + 1, order)
+            this_order_prev = p
+        return x
+
+    def test_unipc_matches_stateful_reference(self):
+        """The trace-time coefficient tables + fori_loop reproduce the
+        reference's stateful predictor-corrector recursion exactly."""
+        from videogpa_tpu.models.wan.pipeline import unipc_loop
+
+        def v_np(x, s):
+            return -(1.0 + s) * x + np.sin(3.0 * s) + 0.1 * np.tanh(x)
+
+        def v_jx(x, s):
+            return -(1.0 + s) * x + jnp.sin(3.0 * s) + 0.1 * jnp.tanh(x)
+
+        x0 = np.linspace(-2.0, 2.0, 8)
+        for num_steps in (1, 2, 3, 8, 17):
+            ref = self._ref_unipc(x0.copy(), num_steps, 5.0, v_np)
+            got = jax.jit(
+                lambda z: unipc_loop(v_jx, z, num_steps, 5.0)
+            )(jnp.asarray(x0, jnp.float32))
+            np.testing.assert_allclose(
+                np.asarray(got), ref, rtol=2e-5, atol=2e-5,
+                err_msg=f"num_steps={num_steps}",
+            )
+
+    def test_unipc_beats_euler_accuracy(self):
+        """At equal model-eval budget UniPC lands much closer to the true
+        flow than Euler (the reason the reference defaults to it)."""
+        from videogpa_tpu.models.wan.pipeline import unipc_loop, shifted_sigmas
+
+        def v_jx(x, s):
+            return -(1.0 + s) * x + jnp.sin(3.0 * s) + 0.1 * jnp.tanh(x)
+
+        x0 = jnp.linspace(-2.0, 2.0, 8)
+
+        def euler(z, n):
+            sig = shifted_sigmas(n, 5.0)
+            for i in range(n):
+                z = z + (sig[i + 1] - sig[i]) * v_jx(z, sig[i])
+            return z
+
+        truth = np.asarray(euler(x0, 4000))
+        for n, max_ratio in ((8, 0.55), (16, 0.35)):
+            e_err = np.abs(np.asarray(euler(x0, n)) - truth).max()
+            u_err = np.abs(np.asarray(unipc_loop(v_jx, x0, n, 5.0))
+                           - truth).max()
+            assert u_err < max_ratio * e_err, (n, u_err, e_err)
 
     def test_unknown_solver_raises(self):
         cfg = WanConfig.tiny()

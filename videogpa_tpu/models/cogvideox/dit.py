@@ -26,6 +26,7 @@ from videogpa_tpu.models.cogvideox.config import CogVideoXConfig
 from videogpa_tpu.ops import layers as L
 from videogpa_tpu.ops.attention import attention
 from videogpa_tpu.ops.rope import rope_3d_freqs, apply_rope_interleaved
+from videogpa_tpu.parallel.sharding import seq_shard as _seq_shard
 from videogpa_tpu.train.lora import lora_delta
 
 
@@ -249,25 +250,6 @@ def _block_apply(p, hidden, encoder, temb, cfg, rope, attn_impl,
     return hidden, encoder
 
 
-def _seq_shard(x: jax.Array) -> jax.Array:
-    """Megatron-style sequence parallelism for the residual stream.
-
-    Under an active tensor-parallel mesh, the scan-carry activations — which
-    are exactly the per-layer residuals ``jax.checkpoint`` keeps alive for
-    the backward pass — are constrained to (data, model)-sharded layout, so
-    each device stores 1/(dp*tp) of them. XLA/GSPMD turns the surrounding
-    collectives into the all-gather (into qkv) / reduce-scatter (out of the
-    row-parallel projections) pair; same ICI bytes as the plain Megatron
-    all-reduce. Activation memory is the binding constraint of the 5B DPO
-    step on 16 GB chips (see videogpa_tpu/train/memory.py).
-    """
-    mesh = jax.sharding.get_abstract_mesh()
-    if mesh.empty or mesh.shape.get("model", 1) <= 1:
-        return x
-    bspec = "data" if mesh.shape.get("data", 1) > 1 else None
-    return jax.lax.with_sharding_constraint(
-        x, jax.sharding.PartitionSpec(bspec, "model", None)
-    )
 
 
 def dit_forward(

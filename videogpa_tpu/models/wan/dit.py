@@ -21,6 +21,7 @@ from videogpa_tpu.models.wan.config import WanConfig
 from videogpa_tpu.ops import layers as L
 from videogpa_tpu.ops.attention import attention
 from videogpa_tpu.ops.rope import apply_rope_interleaved, rope_3d_freqs
+from videogpa_tpu.parallel.sharding import seq_shard as _seq_shard
 from videogpa_tpu.train.lora import lora_delta
 
 
@@ -243,12 +244,12 @@ def wan_forward(
         hh = _block_apply(
             layer_params, hh, e0, ctx, cfg, rope, attn_impl, layer_lora, lora_scaling
         )
-        return hh, None
+        return _seq_shard(hh), None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
     xs = (params["blocks"], lora) if lora is not None else params["blocks"]
-    h, _ = jax.lax.scan(body, h, xs)
+    h, _ = jax.lax.scan(body, _seq_shard(h), xs)
 
     # head: modulated non-affine LN + linear
     he = (

@@ -6,18 +6,31 @@ Parity target: the reference's ``WanTI2V.generate`` call
 (the TI2V trick) by re-imposing it after every solver step and passing
 per-token timesteps with t=0 on first-frame tokens.
 
-Solvers: flow-matching Euler (default, matching the operating point) and
-Heun (2nd-order, ``solver="heun"``, ~2x model evals per step) over the
-shifted sigma schedule. The reference's default unipc solver integrates the
-same ODE; at the 50-step operating point Euler is already a close
-deterministic integrator, and Heun closes most of the remaining gap at
-half the steps.
+Solvers over the shifted sigma schedule:
+
+- ``"unipc"`` (default, matching the reference engine's default
+  ``sample_solver='unipc'``): the UniPC predictor-corrector multistep
+  scheme (Zhao et al. 2023) at solver order 2 / bh2 / x0-prediction,
+  adapted to flow matching exactly like the reference's
+  ``FlowUniPCMultistepScheduler`` (alpha_t = 1 - sigma_t,
+  x0 = x_t - sigma_t * v). One model eval per step — same cost as Euler,
+  ~3rd-order accuracy (order-2 predictor + corrector).
+- ``"euler"``: first-order flow-matching Euler.
+- ``"heun"``: trapezoidal 2nd-order, 2x model evals per step.
+
+TPU design: UniPC's coefficient recurrences depend only on the (static)
+sigma grid, so every rho/phi weight is precomputed in float64 numpy at
+trace time and the jitted loop is a ``fori_loop`` carrying the sample,
+the last corrected sample, and a 2-deep history of x0 predictions —
+the model graph appears once, not ``num_steps`` times.
 """
 
 from __future__ import annotations
 
 import functools
 from typing import Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +45,120 @@ def shifted_sigmas(num_steps: int, shift: float) -> jnp.ndarray:
     """Descending sigma grid sigma_shift(1 -> 0) over num_steps+1 points."""
     s = jnp.linspace(1.0, 0.0, num_steps + 1)
     return shift * s / (1 + (shift - 1) * s)
+
+
+def _unipc_coeffs(num_steps: int, shift: float) -> dict:
+    """Trace-time UniPC coefficient tables (order 2, bh2, x0-prediction).
+
+    Mirrors the reference engine's ``FlowUniPCMultistepScheduler`` (the Wan
+    repo's ``fm_solvers_unipc``, itself diffusers' UniPCMultistepScheduler
+    with alpha_t = 1 - sigma_t): ``lower_order_final`` order ramp 1,2,...,2,1
+    on the predictor, corrector order = previous step's predictor order,
+    corrector disabled on step 0. All weights are functions of the static
+    sigma grid only, so they are computed here in float64 numpy; the jitted
+    loop consumes them as gathered scalars.
+
+    Update forms (m = x0 predictions, D1 = divided differences):
+      predictor: x' = ratio·x + c_m0·m_t + w_prev·(m_{i-1} - m_t)
+      corrector: x  = ratio·last_x + c_m0·m_{i-1}
+                     + w_hist·(m_{i-2} - m_{i-1}) + w_new·(m_t - m_{i-1})
+    """
+    N = num_steps
+    s = np.linspace(1.0, 0.0, N + 1)
+    sig = shift * s / (1 + (shift - 1) * s)
+    with np.errstate(divide="ignore"):
+        lam = np.log((1.0 - sig) / sig)  # lam[0] finite, lam[N] = +inf
+
+    pred_order = np.minimum(np.minimum(2, N - np.arange(N)), np.arange(N) + 1)
+    corr_order = np.concatenate([[0], pred_order[:-1]])  # 0 = corrector off
+
+    def phi_weights(h):
+        """(phi1, B_h, b1, b2) for bh2 at log-SNR gap h (hh = -h)."""
+        hh = -h
+        phi1 = np.expm1(hh)
+        b1 = (phi1 / hh - 1.0) / phi1
+        b2 = 2.0 * ((phi1 / hh - 1.0) / hh - 0.5) / phi1
+        return phi1, phi1, b1, b2
+
+    out = {k: np.zeros(N) for k in (
+        "p_ratio", "p_c_m0", "p_w_prev",
+        "c_on", "c_ratio", "c_c_m0", "c_w_hist", "c_w_new",
+    )}
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(N):
+            # ---- predictor: sig[i] -> sig[i+1]
+            s0, t = sig[i], sig[i + 1]
+            alpha_t = 1.0 - t
+            h = lam[i + 1] - lam[i]
+            phi1, B_h, _, _ = phi_weights(h)
+            out["p_ratio"][i] = t / s0
+            out["p_c_m0"][i] = -alpha_t * phi1
+            if pred_order[i] == 2:
+                r0 = (lam[i - 1] - lam[i]) / h
+                out["p_w_prev"][i] = -alpha_t * B_h * 0.5 / r0
+            # ---- corrector for the sample at sig[i], base sig[i-1]
+            if corr_order[i] >= 1:
+                s0c, tc = sig[i - 1], sig[i]
+                alpha_tc = 1.0 - tc
+                hc = lam[i] - lam[i - 1]
+                phi1c, B_hc, b1, b2 = phi_weights(hc)
+                out["c_on"][i] = 1.0
+                out["c_ratio"][i] = tc / s0c
+                out["c_c_m0"][i] = -alpha_tc * phi1c
+                if corr_order[i] == 2:
+                    r0c = (lam[i - 2] - lam[i - 1]) / hc
+                    # solve [[1, 1], [r0c, 1]] @ [rc0, rc1] = [b1, b2]
+                    rc0 = (b1 - b2) / (1.0 - r0c)
+                    rc1 = b1 - rc0
+                    out["c_w_hist"][i] = -alpha_tc * B_hc * rc0 / r0c
+                    out["c_w_new"][i] = -alpha_tc * B_hc * rc1
+                else:
+                    out["c_w_new"][i] = -alpha_tc * B_hc * 0.5
+    assert all(np.isfinite(v).all() for v in out.values())
+    return {k: jnp.asarray(v, jnp.float32) for k, v in out.items()}
+
+
+def unipc_loop(velocity, latents, num_steps: int, shift: float, reimpose=None):
+    """Integrate dz/dsigma = velocity(z, sigma) from sigma=1 to 0 with UniPC.
+
+    ``velocity(lat, sig) -> v`` is evaluated once per step; ``reimpose`` is
+    the optional TI2V first-frame clamp applied after every sub-update.
+    Trace-safe: must run under jit (coefficient gathers are cheap scalars).
+    """
+    if reimpose is None:
+        reimpose = lambda lat: lat
+    sigmas = shifted_sigmas(num_steps, shift)
+    C = _unipc_coeffs(num_steps, shift)
+
+    def body(i, carry):
+        x, last_x, m0, m1 = carry
+        sig = sigmas[i]
+        # x0 prediction at the (uncorrected) current sample — this one
+        # model eval feeds both the corrector of step i and the predictor
+        # toward step i+1 (UniPC's "free" corrector).
+        m_t = x - sig * velocity(x, sig)
+        # corrector: re-derive the sample at sigma[i] from the previous
+        # corrected sample using the fresh x0 information
+        x_c = (
+            C["c_ratio"][i] * last_x
+            + C["c_c_m0"][i] * m0
+            + C["c_w_hist"][i] * (m1 - m0)
+            + C["c_w_new"][i] * (m_t - m0)
+        )
+        x = jnp.where(C["c_on"][i] > 0, reimpose(x_c), x)
+        # predictor: multistep update to sigma[i+1]
+        x_p = (
+            C["p_ratio"][i] * x
+            + C["p_c_m0"][i] * m_t
+            + C["p_w_prev"][i] * (m0 - m_t)
+        )
+        return reimpose(x_p), x, m_t, m0
+
+    out = jax.lax.fori_loop(
+        0, num_steps, body,
+        (latents, latents, jnp.zeros_like(latents), jnp.zeros_like(latents)),
+    )
+    return out[0]
 
 
 @functools.partial(
@@ -52,10 +179,10 @@ def wan_denoise_loop(
     ti2v: bool = False,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
-    solver: str = "euler",
+    solver: str = "unipc",
 ) -> jax.Array:
     """latent_shape: (B, C, F, H, W). Returns final latents."""
-    if solver not in ("euler", "heun"):
+    if solver not in ("euler", "heun", "unipc"):
         raise ValueError(f"unknown solver {solver!r}")
     B, C, F, H, W = latent_shape
     sigmas = shifted_sigmas(num_steps, cfg.shift)
@@ -86,6 +213,9 @@ def wan_denoise_loop(
         if ti2v and image_latent is not None:
             lat = jnp.concatenate([image_latent, lat[:, :, 1:]], axis=2)
         return lat
+
+    if solver == "unipc":
+        return unipc_loop(velocity, latents, num_steps, cfg.shift, reimpose)
 
     def body(i, lat):
         sig = sigmas[i]
@@ -120,7 +250,7 @@ def sample_ti2v(
     guidance_scale: float = 5.0,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
-    solver: str = "euler",
+    solver: str = "unipc",
 ) -> jax.Array:
     """Text(+image)-to-video. image: (B, 3, H, W) in [-1, 1] or None (T2V).
 

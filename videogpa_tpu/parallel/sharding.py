@@ -96,6 +96,28 @@ def vit_param_specs(params: Any) -> Any:
     return _spec_like(params, spec)
 
 
+def seq_shard(x: jax.Array) -> jax.Array:
+    """Megatron-style sequence parallelism for a DiT residual stream.
+
+    Under an active tensor-parallel mesh, the scan-carry activations — which
+    are exactly the per-layer residuals ``jax.checkpoint`` keeps alive for
+    the backward pass — are constrained to (data, model)-sharded layout, so
+    each device stores 1/(dp*tp) of them. XLA/GSPMD turns the surrounding
+    collectives into the all-gather (into qkv) / reduce-scatter (out of the
+    row-parallel projections) pair; same ICI bytes as the plain Megatron
+    all-reduce. Activation memory is the binding constraint of the 5B DPO
+    step on 16 GB chips (see videogpa_tpu/train/memory.py).
+
+    No-op outside a mesh context or when the ``model`` axis is trivial, so
+    single-chip inference paths are unaffected.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return x
+    bspec = DATA_AXIS if mesh.shape.get(DATA_AXIS, 1) > 1 else None
+    return jax.lax.with_sharding_constraint(x, P(bspec, MODEL_AXIS, None))
+
+
 def lora_param_specs(lora: Any) -> Any:
     """LoRA trees are small: replicate (grads all-reduce over data axis)."""
     return jax.tree_util.tree_map(lambda _: P(), lora)
