@@ -151,3 +151,52 @@ class TestEndToEndSlice:
         )
         assert video.shape == (1, 3, 5, 32, 48)
         assert np.isfinite(np.asarray(video)).all()
+
+
+class TestVideoWriteFFmpeg:
+    """write_video prefers the reference's ffmpeg x264 pipe when available
+    (reference generate/Wan2.2-TI2V-5B.py:24-38) and falls back to OpenCV."""
+
+    def test_ffmpeg_pipe_invoked_with_raw_rgb(self, tmp_path, monkeypatch):
+        # fake ffmpeg: record argv, consume stdin to a file, exit 0
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        fake = bindir / "ffmpeg"
+        fake.write_text(
+            "#!/bin/sh\n"
+            f'echo "$@" > {tmp_path}/argv.txt\n'
+            f"cat > {tmp_path}/stdin.bin\n"
+            'touch "${@: -1}" 2>/dev/null || :\n'
+        )
+        fake.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+        from videogpa_tpu.data.video_io import write_video
+
+        frames = np.random.default_rng(0).integers(
+            0, 255, (3, 16, 24, 3), dtype=np.uint8
+        )
+        out = tmp_path / "clip.mp4"
+        write_video(str(out), frames, fps=24)
+
+        argv = (tmp_path / "argv.txt").read_text()
+        assert "libx264" in argv and "yuv420p" in argv and "24x16" in argv
+        assert "-r 24" in argv
+        raw = (tmp_path / "stdin.bin").read_bytes()
+        assert raw == frames.tobytes()  # rawvideo rgb24 byte stream
+
+    def test_fallback_to_opencv_when_ffmpeg_fails(self, tmp_path, monkeypatch):
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        fake = bindir / "ffmpeg"
+        fake.write_text("#!/bin/sh\ncat > /dev/null\nexit 1\n")
+        fake.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+        from videogpa_tpu.data.video_io import read_video_frames, write_video
+
+        frames = np.full((3, 16, 24, 3), 128, np.uint8)
+        out = tmp_path / "clip.mp4"
+        write_video(str(out), frames, fps=8)
+        back = read_video_frames(str(out))
+        assert back.shape == frames.shape
