@@ -9,6 +9,7 @@ sevenscenes}.py`` (on-disk formats, exercised via synthetic fixtures),
 (colmap + gallery commands).
 """
 
+import json
 import os
 import struct
 
@@ -293,6 +294,95 @@ class TestFeatVisAndGallery:
         main(["gallery", str(tmp_path)])
         page = (tmp_path / "gallery.html").read_text()
         assert "scene_a" in page and "depth.png" in page
+
+
+def _make_gallery_tree(root):
+    """Two-level group/scene export tree like the reference gallery expects
+    (reference services/gallery.py:641-701): a scene is complete when it has
+    scene.glb + scene.jpg; depth_vis/ images ride along."""
+    for group, scenes in (("kitchens", ["s01", "s02"]), ("parks", ["p01"])):
+        for s in scenes:
+            d = root / group / s
+            (d / "depth_vis").mkdir(parents=True)
+            (d / "scene.glb").write_bytes(b"glTF-fake")
+            _write_png(d / "scene.jpg", np.zeros((6, 12, 3), np.uint8))
+            for i in range(5):
+                _write_png(
+                    d / "depth_vis" / f"d{i:03d}.png",
+                    np.zeros((4, 4, 3), np.uint8),
+                )
+    # incomplete scene (no glb) and a stray file: both must be skipped
+    d = root / "kitchens" / "broken"
+    d.mkdir()
+    _write_png(d / "scene.jpg", np.zeros((6, 12, 3), np.uint8))
+    (root / "empty_group").mkdir()
+    (root / "notes.txt").write_text("x")
+
+
+class TestGalleryServer:
+    """Interactive gallery server (reference services/gallery.py)."""
+
+    def test_manifests(self, tmp_path):
+        from videogpa_tpu.models.da3.gallery import (
+            build_group_list,
+            build_group_manifest,
+        )
+
+        _make_gallery_tree(tmp_path)
+        groups = build_group_list(str(tmp_path))["groups"]
+        assert [g["id"] for g in groups] == ["kitchens", "parks"]
+
+        man = build_group_manifest(str(tmp_path), "kitchens")
+        assert [i["id"] for i in man["items"]] == ["s01", "s02"]
+        item = man["items"][0]
+        assert item["model"] == "/kitchens/s01/scene.glb"
+        assert item["thumbnail"] == "/kitchens/s01/scene.jpg"
+        assert len(item["depth_images"]) == 5
+        assert item["depth_images"][0] == "/kitchens/s01/depth_vis/d000.png"
+        assert build_group_manifest(str(tmp_path), "nope")["items"] == []
+
+    def test_http_endpoints(self, tmp_path):
+        import threading
+        import urllib.error
+        import urllib.request
+
+        from videogpa_tpu.models.da3.gallery import make_server
+
+        _make_gallery_tree(tmp_path)
+        server = make_server(str(tmp_path), port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            def get(path):
+                return urllib.request.urlopen(base + path, timeout=5)
+
+            page = get("/").read().decode()
+            assert "model-viewer" in page and "manifest.json" in page
+
+            groups = json.loads(get("/manifest.json").read())["groups"]
+            assert [g["id"] for g in groups] == ["kitchens", "parks"]
+
+            man = json.loads(get("/manifest/kitchens.json").read())
+            assert len(man["items"]) == 2
+
+            r = get("/kitchens/s01/scene.glb")
+            assert r.read() == b"glTF-fake"
+            assert r.headers["Content-Type"] == "model/gltf-binary"
+
+            with pytest.raises(urllib.error.HTTPError) as e:
+                get("/manifest/..%2fkitchens.json")
+            assert e.value.code == 400
+
+            with pytest.raises(urllib.error.HTTPError) as e:
+                get("/kitchens/")  # directory listing disabled
+            assert e.value.code == 404
+
+            assert get("/favicon.ico").status == 204
+        finally:
+            server.shutdown()
+            server.server_close()
 
 
 def _make_dtu64_fixture(root, n_views=3, hw=(28, 28)):

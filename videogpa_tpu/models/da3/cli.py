@@ -131,8 +131,18 @@ def cmd_colmap(args):
 
 
 def cmd_gallery(args):
-    """Static HTML gallery over an export directory (stdlib substitute for
-    the reference's gradio/FastAPI gallery, cli.py:766)."""
+    """Gallery over an export directory.
+
+    With ``--serve``: the interactive two-level group/scene browser
+    (``videogpa_tpu.models.da3.gallery``, mirroring the reference's
+    ``services/gallery.py`` server: manifest endpoints + model-viewer page).
+    Default: write a one-shot static HTML index (no server needed).
+    """
+    if getattr(args, "serve", False):
+        from videogpa_tpu.models.da3.gallery import serve
+
+        serve(args.input, host=args.host, port=args.port)
+        return None
     import html
 
     root = args.input
@@ -210,8 +220,16 @@ def main(argv=None):
     )
     p.set_defaults(fn=cmd_colmap)
 
-    p = sub.add_parser("gallery", help="write a static HTML gallery of exports")
+    p = sub.add_parser(
+        "gallery",
+        help="browse exports: --serve for the interactive two-level "
+             "group/scene server, default writes a static HTML index",
+    )
     p.add_argument("input", help="export root directory")
+    p.add_argument("--serve", action="store_true",
+                   help="run the gallery HTTP server instead")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_gallery)
 
     args = parser.parse_args(argv)
