@@ -212,15 +212,23 @@ def export_colmap(prediction, out_dir: str, **_) -> str:
 
 @register("depth_vis")
 def export_depth_vis(prediction, out_dir: str, **_) -> str:
+    """Side-by-side [image | Spectral-colored inverse depth] jpgs, the
+    reference artifact layout (``utils/export/depth_vis.py:25-41``)."""
     import cv2
+
+    from videogpa_tpu.models.da3.visualize import visualize_depth
 
     d = os.path.join(out_dir, "depth_vis")
     os.makedirs(d, exist_ok=True)
     for i, depth in enumerate(prediction.depth):
-        inv = 1.0 / np.maximum(depth, 1e-6)
-        norm = (inv - inv.min()) / max(inv.max() - inv.min(), 1e-9)
-        vis = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_TURBO)
-        cv2.imwrite(os.path.join(d, f"depth_{i:05d}.png"), vis)
+        vis = visualize_depth(np.asarray(depth))
+        img = np.clip(prediction.processed_images[i], 0, 255).astype(np.uint8)
+        pair = np.concatenate([img, vis], axis=1)
+        cv2.imwrite(
+            os.path.join(d, f"{i:04d}.jpg"),
+            cv2.cvtColor(pair, cv2.COLOR_RGB2BGR),
+            [cv2.IMWRITE_JPEG_QUALITY, 95],
+        )
     return d
 
 
