@@ -145,3 +145,33 @@ class TestPredictTracks:
         f = np.array([[1, 0], [1, 0.1], [0, 1.0]], np.float32)
         order = rank_query_frames(f, 2)
         assert len(order) == 2 and order[0] in (0, 1)
+
+
+class TestPredictTracksVGGSfM:
+    def test_predict_tracks_on_vggsfm_tracker(self):
+        """predict_tracks drives the rebuilt VGGSfM tracker when
+        tracker_params is given (reference track_predict.py:56,220)."""
+        from videogpa_tpu.models.vggt.config import VGGTConfig
+        from videogpa_tpu.models.vggt.model import vggt_init
+        from videogpa_tpu.models.vggt.vggsfm_tracker import vggsfm_tracker_init
+
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        tracker = vggsfm_tracker_init(jax.random.PRNGKey(7))
+        S, H, N = 2, 256, 6
+        images = np.random.default_rng(1).uniform(
+            0, 1, (S, 3, H, H)
+        ).astype(np.float32)
+        conf = np.random.default_rng(2).uniform(0, 2, (S, H, H)).astype(
+            np.float32
+        )
+        out = predict_tracks(
+            params, images, cfg, conf=conf, max_query_pts=N,
+            query_frame_num=2, tracker_params=tracker,
+            track_kwargs={"fine_tracking": False, "coarse_iters": 2},
+        )
+        assert out["tracks"].shape == (2, S, N, 2)
+        assert out["vis"].shape == (2, S, N)
+        assert ((out["vis"] >= 0) & (out["vis"] <= 1)).all()
+        np.testing.assert_array_equal(out["conf"], out["vis"])
+        assert np.isfinite(out["tracks"]).all()

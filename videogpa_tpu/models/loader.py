@@ -109,6 +109,24 @@ def load_vggt(model_name_or_path: str = "facebook/VGGT-1B", cfg=None):
     return convert_vggt(sd, cfg), cfg
 
 
+def load_vggsfm_tracker(model_path: str):
+    """Load the VGGSfM coarse-to-fine tracker checkpoint.
+
+    ``model_path`` is the local ``vggsfm_v2_tracker.pt`` file (the reference
+    downloads it from ``facebook/VGGSfM`` — ``vggt/dependency/
+    vggsfm_utils.py:29-48``); a torch-format state dict is converted into
+    our functional pytree.
+    """
+    import torch
+
+    from videogpa_tpu.models.vggt.vggsfm_tracker import convert_vggsfm_tracker
+
+    sd = torch.load(model_path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_vggsfm_tracker(sd)
+
+
 def load_da3(model_name_or_path: str = "depth-anything/DA3-Large", cfg=None):
     from videogpa_tpu.models.da3.config import DA3Config
     from videogpa_tpu.models.da3.convert import convert_da3, normalize_da3_state_dict

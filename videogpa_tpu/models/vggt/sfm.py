@@ -13,10 +13,13 @@ code path imports these, so they exist for standalone-VGGT completeness:
 - COLMAP interop built on ``models.da3.colmap_io`` dataclasses instead of
   pycolmap (not installed here): batched matrices + tracks -> a COLMAP model
   and back.
-- ``predict_tracks``: query-keypoint tracking over an image set on OUR VGGT
-  track head (the reference drives the separate VGGSfM tracker checkpoint;
-  the VGGT track head is the in-family equivalent and shares its CoTracker
-  lineage). Query frames are ranked by DINO cls-feature similarity like
+- ``predict_tracks``: query-keypoint tracking over an image set — by
+  default on our VGGT track head, or on the rebuilt VGGSfM coarse-to-fine
+  tracker (``videogpa_tpu/models/vggt/vggsfm_tracker.py``, torch-oracle
+  parity-tested; load its public checkpoint via
+  ``loader.load_vggsfm_tracker``) when ``tracker_params`` is given —
+  matching the reference's ``track_predict.py`` driver. Query frames are
+  ranked by DINO cls-feature similarity like
   ``vggsfm_utils.generate_rank_by_dino``.
 """
 
@@ -262,6 +265,7 @@ def predict_tracks(
     query_frame_num: int = 2,
     iters: int = 4,
     track_kwargs: Optional[dict] = None,
+    tracker_params: Optional[dict] = None,
 ):
     """Track query keypoints from selected query frames across all images.
 
@@ -272,6 +276,12 @@ def predict_tracks(
             (reference samples SuperPoint/ALIKED keypoints; without those
             weights the sampler takes the top-confidence grid points, or a
             uniform grid when conf is None).
+        tracker_params: optional VGGSfM coarse-to-fine tracker pytree
+            (``loader.load_vggsfm_tracker``). When given, tracking runs on
+            the dedicated tracker like the reference's ``predict_tracks``
+            (``vggt/dependency/track_predict.py:56,220``) instead of the
+            VGGT track head; its vis doubles as conf (the VGGSfM tracker
+            has no confidence head).
 
     Returns:
         dict with tracks (Q, S, N, 2), vis (Q, S, N), conf (Q, S, N), and
@@ -306,10 +316,22 @@ def predict_tracks(
         # frame 0), then roll results back
         order = np.roll(np.arange(S), -qf)
         xq = x[:, order]
+        inv = np.argsort(order)
+        if tracker_params is not None:
+            from videogpa_tpu.models.vggt.vggsfm_tracker import (
+                vggsfm_tracker_forward,
+            )
+
+            fine, _coarse, vis, _score = vggsfm_tracker_forward(
+                tracker_params, xq, qpts, **(track_kwargs or {})
+            )
+            all_tracks.append(np.asarray(fine[0])[inv])
+            all_vis.append(np.asarray(vis[0])[inv])
+            all_conf.append(np.asarray(vis[0])[inv])
+            continue
         res = vggt_forward(
             params, xq, cfg, query_points=qpts, track_kwargs=track_kwargs
         )
-        inv = np.argsort(order)
         all_tracks.append(np.asarray(res["track"][0])[inv])
         all_vis.append(np.asarray(res["vis"][0])[inv])
         all_conf.append(np.asarray(res["conf"][0])[inv])

@@ -109,7 +109,12 @@ def corr_pyramid_sample(
     r = radius
     k = 2 * r + 1
     dx = jnp.linspace(-r, r, k)
-    dyx = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij")[::-1], axis=-1)  # (k,k,2) xy
+    # Reference window order (vggt/heads/track_modules/blocks.py:174,
+    # vggt/dependency/track_modules/blocks.py:293-299): the (dy, dx)
+    # meshgrid is added to (x, y) coords, so at window slot (i, j) the
+    # sample is (x + lin[i], y + lin[j]) — the x offset varies along the
+    # FIRST grid axis. Converted checkpoints expect this flatten order.
+    dyx = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), axis=-1)  # (k, k, 2)
 
     out = []
     fm = fmaps
