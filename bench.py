@@ -249,9 +249,9 @@ def bench_overlap():
         lambda x: x.astype(jnp.bfloat16), vae_init(jax.random.PRNGKey(1), cfg)
     )
     vcfg = VGGTConfig()
-    vggt = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16), vggt_init(jax.random.PRNGKey(2), vcfg)
-    )
+    # init directly in bf16: an f32 VGGT-1B init (~4.9 GB transient) next to
+    # the resident 5B bf16 DiT overflows the 16 GB chip
+    vggt = vggt_init(jax.random.PRNGKey(2), vcfg, dtype=jnp.bfloat16)
     vp = VideoProcessor({"MSE": None}, params=vggt, config=vcfg)
     scorer = vp._device_fn(0.0)
 
@@ -384,9 +384,14 @@ def main():
         except Exception as e:  # pragma: no cover - environment hiccups
             result["int8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_WAN") == "1":
-        wan_sps = bench_wan()
-        result["wan_steps_per_sec"] = round(wan_sps, 4)
-        result["wan_vs_baseline"] = round(wan_sps / WAN_BASELINE_STEPS_PER_SEC, 3)
+        try:
+            wan_sps = bench_wan()
+            result["wan_steps_per_sec"] = round(wan_sps, 4)
+            result["wan_vs_baseline"] = round(
+                wan_sps / WAN_BASELINE_STEPS_PER_SEC, 3
+            )
+        except Exception as e:  # pragma: no cover
+            result["wan_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
         single, batched, scores = bench_reward()
         result["reward_clips_per_min"] = round(single, 2)
@@ -408,15 +413,21 @@ def main():
         except Exception as e:  # pragma: no cover
             result["reward_int8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_TRAIN") == "1":
-        tps, tdt, scale = bench_train()
-        result[f"dpo_steps_per_sec_{scale}"] = round(tps, 4)
-        result[f"dpo_step_ms_{scale}"] = round(tdt * 1000, 1)
+        try:
+            tps, tdt, scale = bench_train()
+            result[f"dpo_steps_per_sec_{scale}"] = round(tps, 4)
+            result[f"dpo_step_ms_{scale}"] = round(tdt * 1000, 1)
+        except Exception as e:  # pragma: no cover
+            result["train_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_OVERLAP") == "1":
-        seq, ovl, decomp = bench_overlap()
-        result["genscore_clips_per_min_sequential"] = round(seq, 2)
-        result["genscore_clips_per_min_overlapped"] = round(ovl, 2)
-        result["overlap_speedup"] = round(ovl / seq, 3)
-        result["overlap_decomposition"] = decomp
+        try:
+            seq, ovl, decomp = bench_overlap()
+            result["genscore_clips_per_min_sequential"] = round(seq, 2)
+            result["genscore_clips_per_min_overlapped"] = round(ovl, 2)
+            result["overlap_speedup"] = round(ovl / seq, 3)
+            result["overlap_decomposition"] = decomp
+        except Exception as e:  # pragma: no cover
+            result["overlap_error"] = str(e)[:200]
     print(json.dumps(result))
 
 

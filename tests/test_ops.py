@@ -54,6 +54,41 @@ class TestFlashAttention:
         want = mha_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    @pytest.mark.parametrize("n", [256, 300])
+    def test_head_dim_128_matches_reference(self, n):
+        """The lane-full (D = 128) path — the Wan geometry — vs the XLA
+        oracle, ragged n included."""
+        key = jax.random.PRNGKey(9)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, n, 128))
+        k = jax.random.normal(kk, (1, 2, n, 128))
+        v = jax.random.normal(kv, (1, 2, n, 128))
+        got = attention(q, k, v, impl="flash", block_q=128, block_k=128)
+        want = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+        # gradients flow through the flash vjp's lse at this geometry
+        def loss(f, *args):
+            return jnp.sum(jnp.square(f(*args)))
+
+        g1 = jax.grad(
+            lambda q: loss(lambda x: attention(x, k, v, impl="flash",
+                                               block_q=128, block_k=128), q)
+        )(q)
+        g2 = jax.grad(lambda q: loss(lambda x: mha_reference(x, k, v), q))(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-4)
+
+    def test_head_dim_128_extreme_logits(self):
+        key = jax.random.PRNGKey(10)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 300, 128))
+        k = jax.random.normal(kk, (1, 2, 300, 128))
+        v = jax.random.normal(kv, (1, 2, 300, 128))
+        k = k.at[:, :, -1, :].set(40.0)  # huge logit jump in the last block
+        got = attention(q, k, v, impl="flash", block_q=128, block_k=128)
+        want = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
     def test_int8_qk_close_to_reference(self):
         """SageAttention-style int8 QK^T: near-exact (inference mode)."""
         key = jax.random.PRNGKey(8)
