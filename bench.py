@@ -44,6 +44,14 @@ WAN_BASELINE_STEPS_PER_SEC = 0.17  # 580.8 TFLOP/step (CFG pair, 81f@704x1280)
 REWARD_BASELINE_CLIPS_PER_MIN = 40.0  # ~1.5 s/clip reference pipeline on A100
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the remote (axon) compiler takes minutes
+    per program; cached recompiles are near-instant across processes."""
+    from videogpa_tpu.train.memory import _enable_compile_cache as enable
+
+    enable()
+
+
 def bench_denoise(attn_impl="auto"):
     import jax
     import jax.numpy as jnp
@@ -252,7 +260,10 @@ def bench_overlap():
     # init directly in bf16: an f32 VGGT-1B init (~4.9 GB transient) next to
     # the resident 5B bf16 DiT overflows the 16 GB chip
     vggt = vggt_init(jax.random.PRNGKey(2), vcfg, dtype=jnp.bfloat16)
-    vp = VideoProcessor({"MSE": None}, params=vggt, config=vcfg)
+    # dpt_chunk=2: the DPT fusion features are the scorer's peak-memory
+    # tensor; at the default chunk the scorer's temp arena (2.4 GiB, AOT
+    # memory_analysis) does not co-reside with the 10.4 GiB resident DiT
+    vp = VideoProcessor({"MSE": None}, params=vggt, config=vcfg, dpt_chunk=2)
     scorer = vp._device_fn(0.0)
 
     B, F = 2, 13
@@ -364,6 +375,7 @@ def bench_overlap():
 
 
 def main():
+    _enable_compile_cache()
     steps_per_sec, dt = bench_denoise()
     result = {
         "metric": "denoise_steps_per_sec_per_chip",

@@ -88,6 +88,22 @@ class TestVideoProcessor:
         vp = VideoProcessor({}, backbone="da3")
         assert vp.backbone == "da3"
 
+    def test_dpt_chunk_is_score_invariant(self, video_path):
+        """dpt_chunk only bounds the DPT head's peak memory (reference
+        chunking, vggt/heads/dpt_head.py:115-171) — scores are bit-identical
+        across chunk sizes."""
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        frames = sample_uniform_frames(video_path, n_frames=3, size=cfg.img_size)
+        outs = []
+        for chunk in (1, 3):
+            vp = VideoProcessor(
+                {"MSE": MSEMetric()}, params=params, config=cfg,
+                compute_dtype=jnp.float32, attn_impl="xla", dpt_chunk=chunk,
+            )
+            outs.append(vp.process_frames(frames, thresholds=[0])[0]["MSE"])
+        assert outs[0] == outs[1]
+
 
 class TestBatchedScoring:
     def test_process_paths_matches_single(self, video_path, tmp_path):

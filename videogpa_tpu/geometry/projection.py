@@ -112,8 +112,14 @@ def batch_reproject(
         ``utils/projection_utils.py:99-101`` normalization).
     """
     colors = jnp.where(jnp.max(colors) <= 1.0, colors * 255.0, colors)
-    render = jax.vmap(
-        lambda Ki, Ei: project_points_zbuffer(points, colors, Ki, Ei, H, W, valid)
-    )(intrinsics, extrinsics)
+    # serialize views with lax.map instead of vmap: the per-view projection
+    # intermediates are O(N_points) (~32 MB each at 10x518² clouds) and a
+    # vmapped scatter materializes all T views' worth at once (~2 GB peak).
+    # The scatter is bandwidth-bound, so serializing views costs nothing
+    # measurable but lets the scorer co-reside with a 5B DiT (bench_overlap).
+    render = jax.lax.map(
+        lambda KE: project_points_zbuffer(points, colors, KE[0], KE[1], H, W, valid),
+        (intrinsics, extrinsics),
+    )
     frames = jnp.transpose(render, (0, 3, 1, 2))
     return (frames / 255.0) * 2.0 - 1.0

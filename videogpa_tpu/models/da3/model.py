@@ -70,7 +70,10 @@ def da3_forward(
         params["backbone"], images.astype(compute_dtype), cfg,
         cam_token=cam_token, attn_impl=attn_impl
     )
-    feats = [(t.astype(jnp.float32), c.astype(jnp.float32)) for t, c in feats]
+    # heads run f32 (reference autocast-off), but cast at each consumer's
+    # slice instead of materializing a full-stack f32 copy (~0.5 GB at
+    # S=10/518²): dualdpt_forward casts tokens per layer (heads.py:94) and
+    # aavit_forward already emits cls features in f32 (vit.py:105)
 
     out = dualdpt_forward(params["head"], feats, cfg, (H, W))
 
@@ -82,7 +85,7 @@ def da3_forward(
     if return_features:
         # last out-layer patch tokens, for feat_vis PCA export (reference
         # utils/export feat_vis / pca_utils)
-        out["features"] = feats[-1][0]  # (B, S, P, 2C)
+        out["features"] = feats[-1][0].astype(jnp.float32)  # (B, S, P, 2C)
     return out
 
 

@@ -53,6 +53,7 @@ def vggt_forward(
     compute_dtype=jnp.bfloat16,
     query_points=None,
     track_kwargs: dict = None,
+    dpt_chunk: int = 8,
 ) -> Dict[str, jax.Array]:
     """Args:
         images: (B, S, 3, H, W) in [0, 1].
@@ -74,7 +75,11 @@ def vggt_forward(
         params["aggregator"], images, cfg, attn_impl, compute_dtype,
         keep_layers=keep,
     )
-    layer_outputs = layer_outputs.astype(jnp.float32)
+    # heads run f32 (reference autocast-off policy), but the cast happens at
+    # each consumer's slice (_dpt_core per chunk, camera tokens below) —
+    # casting the whole (5, B, S, P, 2C) stack here would materialize an
+    # extra ~0.5 GB f32 copy at S=10/518², which matters when the scorer
+    # shares the chip with a resident 5B DiT (bench_overlap)
     import dataclasses
 
     hcfg = dataclasses.replace(
@@ -84,19 +89,21 @@ def vggt_forward(
 
     preds: Dict[str, jax.Array] = {"images": images}
     if "camera_head" in params:
-        cam_tokens = layer_outputs[pos[cfg.depth - 1]][:, :, 0]
+        cam_tokens = layer_outputs[pos[cfg.depth - 1]][:, :, 0].astype(jnp.float32)
         pose_enc_list = camera_head_forward(params["camera_head"], cam_tokens, cfg, attn_impl)
         preds["pose_enc"] = pose_enc_list[-1]
         preds["pose_enc_list"] = pose_enc_list
     if "depth_head" in params:
         depth, depth_conf = dpt_head_forward(
-            params["depth_head"], layer_outputs, hcfg, (H, W), "exp", "expp1"
+            params["depth_head"], layer_outputs, hcfg, (H, W), "exp", "expp1",
+            chunk_size=dpt_chunk,
         )
         preds["depth"] = depth
         preds["depth_conf"] = depth_conf
     if "point_head" in params:
         pts, conf = dpt_head_forward(
-            params["point_head"], layer_outputs, hcfg, (H, W), "inv_log", "expp1"
+            params["point_head"], layer_outputs, hcfg, (H, W), "inv_log", "expp1",
+            chunk_size=dpt_chunk,
         )
         preds["world_points"] = pts
         preds["world_points_conf"] = conf

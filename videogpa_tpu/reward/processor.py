@@ -59,6 +59,7 @@ class VideoProcessor:
         backbone: Optional[str] = None,
         compute_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
+        dpt_chunk: int = 8,
     ):
         self.metrics = metrics
         self.backbone = self._resolve_backbone(backbone, model_name)
@@ -71,6 +72,10 @@ class VideoProcessor:
         self.params = params
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
+        # frames per DPT-head chunk (reference chunk=8, dpt_head.py:115-171);
+        # the full-resolution fusion features are the scorer's peak-memory
+        # tensor — chunk 2 lets the scorer co-reside with a 5B DiT (VGGT only)
+        self.dpt_chunk = dpt_chunk
         self._forward_cache: Dict[Any, Any] = {}
 
     @staticmethod
@@ -98,6 +103,7 @@ class VideoProcessor:
         cfg = self.config
         compute_dtype = self.compute_dtype
         attn_impl = self.attn_impl
+        dpt_chunk = self.dpt_chunk
 
         @functools.partial(jax.jit, static_argnums=())
         def run(params, images):
@@ -108,7 +114,8 @@ class VideoProcessor:
             if images.dtype == jnp.uint8:
                 images = images.astype(jnp.float32).transpose(0, 1, 4, 2, 3) / 255.0
             preds = vggt_forward(
-                params, images, cfg, attn_impl=attn_impl, compute_dtype=compute_dtype
+                params, images, cfg, attn_impl=attn_impl,
+                compute_dtype=compute_dtype, dpt_chunk=dpt_chunk,
             )
             H, W = images.shape[-2:]
             extr, intr = pose_encoding_to_extri_intri(preds["pose_enc"], (H, W))
@@ -203,6 +210,7 @@ class VideoProcessor:
         compute_dtype = self.compute_dtype
         attn_impl = self.attn_impl
         backbone = self.backbone
+        dpt_chunk = self.dpt_chunk
 
         from videogpa_tpu.geometry import unproject_depth
         from videogpa_tpu.geometry.transforms import closed_form_inverse_se3
@@ -232,7 +240,8 @@ class VideoProcessor:
                 colors = images * std + mean
             else:
                 preds = vggt_forward(params, images, cfg, attn_impl=attn_impl,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     dpt_chunk=dpt_chunk)
                 extr, intr = pose_encoding_to_extri_intri(
                     preds["pose_enc"], (H, W)
                 )
