@@ -196,6 +196,31 @@ class TestSplatting:
         # nearer point masked out -> the farther (red) one wins
         np.testing.assert_allclose(np.asarray(canvas[2, 2]), [100, 0, 0])
 
+    def test_sorted_zbuffer_matches_scatter(self):
+        """The sort+searchsorted lowering is output-identical to the
+        scatter-min lowering — same nearest-z winner, same lowest-id
+        tie-break, same padding handling."""
+        from videogpa_tpu.geometry.projection import project_points_zbuffer_sorted
+
+        rng = np.random.default_rng(11)
+        N, H, W = 2000, 24, 32
+        points = rng.standard_normal((N, 3)).astype(np.float32)
+        points[:, 2] += 4.0
+        # force z ties on purpose: quantize depths coarsely
+        points[:, 2] = np.round(points[:, 2] * 4) / 4
+        colors = rng.uniform(0, 255, (N, 3)).astype(np.float32)
+        K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+        E = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1).astype(np.float32)
+        valid = rng.uniform(size=N) > 0.1
+
+        a = project_points_zbuffer(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(K),
+            jnp.asarray(E), H, W, valid=jnp.asarray(valid))
+        b = project_points_zbuffer_sorted(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(K),
+            jnp.asarray(E), H, W, valid=jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_batch_reproject_range_and_shape(self):
         rng = np.random.default_rng(8)
         points = jnp.asarray(rng.standard_normal((100, 3)), jnp.float32)

@@ -90,7 +90,7 @@ def project_points_zbuffer(
     return px.reshape(H, W, 3)
 
 
-@partial(jax.jit, static_argnames=("H", "W"))
+@partial(jax.jit, static_argnames=("H", "W", "zbuffer_impl"))
 def batch_reproject(
     points: jax.Array,
     colors: jax.Array,
@@ -99,6 +99,7 @@ def batch_reproject(
     H: int,
     W: int,
     valid: Optional[jax.Array] = None,
+    zbuffer_impl: str = "scatter",
 ) -> jax.Array:
     """Reproject a point cloud into T cameras.
 
@@ -112,14 +113,75 @@ def batch_reproject(
         ``utils/projection_utils.py:99-101`` normalization).
     """
     colors = jnp.where(jnp.max(colors) <= 1.0, colors * 255.0, colors)
+    one_view = (
+        project_points_zbuffer_sorted
+        if zbuffer_impl == "sorted"
+        else project_points_zbuffer
+    )
     # serialize views with lax.map instead of vmap: the per-view projection
     # intermediates are O(N_points) (~32 MB each at 10x518² clouds) and a
     # vmapped scatter materializes all T views' worth at once (~2 GB peak).
     # The scatter is bandwidth-bound, so serializing views costs nothing
     # measurable but lets the scorer co-reside with a 5B DiT (bench_overlap).
     render = jax.lax.map(
-        lambda KE: project_points_zbuffer(points, colors, KE[0], KE[1], H, W, valid),
+        lambda KE: one_view(points, colors, KE[0], KE[1], H, W, valid),
         (intrinsics, extrinsics),
     )
     frames = jnp.transpose(render, (0, 3, 1, 2))
     return (frames / 255.0) * 2.0 - 1.0
+
+
+def project_points_zbuffer_sorted(
+    points: jax.Array,
+    colors: jax.Array,
+    K: jax.Array,
+    E: jax.Array,
+    H: int,
+    W: int,
+    valid: Optional[jax.Array] = None,
+    bg: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> jax.Array:
+    """Scatter-free variant of :func:`project_points_zbuffer`.
+
+    Identical output (same nearest-depth winner, same lowest-point-index
+    tie-break), different lowering: instead of two scatter-mins over the
+    canvas, sort the points by (pixel, z, id) lexicographically and binary-
+    search each pixel's first entry (``searchsorted``) — sort + gather only,
+    no scatter. Exists because XLA:TPU scatters serialize; A/B on-chip and
+    keep whichever wins (see ``zbuffer_impl`` in ``batch_reproject``).
+    """
+    R = E[:3, :3]
+    t = E[:3, 3]
+
+    pc_cam = points @ R.T + t
+    pc_proj = pc_cam @ K.T
+
+    z = pc_proj[:, 2]
+    u = jnp.round(pc_proj[:, 0] / (z + 1e-8)).astype(jnp.int32)
+    v = jnp.round(pc_proj[:, 1] / (z + 1e-8)).astype(jnp.int32)
+
+    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
+    if valid is not None:
+        ok = ok & valid
+
+    n_px = H * W
+    lin = jnp.where(ok, v * W + u, n_px)  # invalid points in the dump slot
+
+    n = points.shape[0]
+    pid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    # lexicographic (lin, z, pid): after the sort, the first entry of each
+    # pixel's run is the nearest-depth point, lowest id among depth ties —
+    # exactly the scatter version's winner
+    lin_s, _, pid_s = jax.lax.sort(
+        (lin, jnp.where(ok, z, jnp.inf), pid), num_keys=2
+    )
+    first = jnp.searchsorted(lin_s, jnp.arange(n_px, dtype=lin_s.dtype))
+    hit = lin_s[jnp.minimum(first, n - 1)] == jnp.arange(n_px, dtype=lin_s.dtype)
+    hit = hit & (first < n)
+    win = pid_s[jnp.minimum(first, n - 1)]
+
+    c8 = jnp.floor(jnp.clip(colors, 0.0, 255.0))
+    px = jnp.where(
+        hit[:, None], c8[jnp.where(hit, win, 0)], jnp.asarray(bg, dtype=c8.dtype)
+    )
+    return px.reshape(H, W, 3)

@@ -276,6 +276,109 @@ class VideoProcessor:
         self._forward_cache[key] = run
         return run
 
+    # metric names the fused on-device scorer can compute (everything the
+    # reference suite has except Epipolar, whose SIFT keypoints are host-side)
+    FUSABLE_METRICS = ("MSE", "PSNR", "SSIM", "LPIPS", "Consistency_Score", "MVCS")
+
+    def _fused_lpips_params(self):
+        for name in ("Consistency_Score", "LPIPS"):
+            m = self.metrics.get(name)
+            if m is not None and getattr(m, "params", None) is not None:
+                return m.params
+        return None
+
+    def _device_fn_scored(self, conf_thres: float, K: int):
+        """Backbone -> geometry -> reprojection -> METRIC SCALARS, one jit.
+
+        The reference loops metrics on host over the reprojected frames
+        (``pipelines/process_video.py:168-196``); here only (K,)-scalars and
+        the (K, S, 3, 4) extrinsics leave the device — the (K, S, 3, H, W)
+        reprojection never crosses the host link (~128 MB at K=4 that the
+        per-metric path re-transfers).
+
+        Returns jit fn(params, lpips_params, images) -> (scores dict, extr).
+        Fusable-metric parity with the per-metric path is exact: the same
+        ``metrics.functional`` kernels run on the same [0,1]-gt/[-1,1]-rep
+        inputs (``tests/test_reward.py::test_fused_scoring_matches_per_metric``).
+        """
+        names = tuple(n for n in self.metrics if n in self.FUSABLE_METRICS)
+        with_lpips = self._fused_lpips_params() is not None
+        key = (self.backbone, conf_thres, "scored", K, names, with_lpips)
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+
+        from videogpa_tpu.metrics import functional as F
+        from videogpa_tpu.models.lpips import lpips_distance
+
+        inner = self._device_fn_batched(conf_thres, K)
+        backbone = self.backbone
+
+        @jax.jit
+        def run(params, lpips_params, images):
+            out = inner(params, images)
+            reproj = out["reprojected"]  # (K, S, 3, H, W) in [-1, 1]
+            extr, intr, depth = out["extrinsic"], out["intrinsic"], out["depth"]
+            # gt in [0, 1], (K, S, 3, H, W) — identical to what the caller
+            # would pass per-metric (fused mode requires gt == uploaded frames)
+            if images.dtype == jnp.uint8:
+                gt = images.astype(jnp.float32).transpose(0, 1, 4, 2, 3) / 255.0
+            elif backbone == "da3":
+                mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 1, 3, 1, 1)
+                std = jnp.asarray(_IMAGENET_STD).reshape(1, 1, 3, 1, 1)
+                gt = images * std + mean
+            else:
+                gt = images
+
+            scores: Dict[str, jax.Array] = {}
+            mse_vals = jax.vmap(F.mse)(gt, reproj) if (
+                "MSE" in names or "Consistency_Score" in names
+            ) else None
+            if "MSE" in names:
+                scores["MSE"] = mse_vals
+            if "PSNR" in names:
+                scores["PSNR"] = jax.vmap(F.psnr)(gt, reproj)
+            if "SSIM" in names:
+                scores["SSIM"] = jax.vmap(F.ssim)(gt, reproj)
+            lpips_vals = None
+            if with_lpips and ("LPIPS" in names or "Consistency_Score" in names):
+                def lp_one(g, r):
+                    gs = F.to_sym_range(g)
+                    rs = F._match_size(gs, F.to_sym_range(r))
+                    return jnp.mean(lpips_distance(lpips_params, gs, rs))
+
+                lpips_vals = jax.vmap(lp_one)(gt, reproj)
+            if "LPIPS" in names:
+                scores["LPIPS"] = (
+                    lpips_vals if lpips_vals is not None
+                    else jnp.zeros((gt.shape[0],))
+                )
+            if "Consistency_Score" in names:
+                # ratio=1.0: the reference signature default that executes
+                # (metrics/consistency_score.py:57); compute_metrics never
+                # overrides it
+                cons = mse_vals
+                if lpips_vals is not None:
+                    cons = cons + 1.0 * lpips_vals
+                scores["Consistency_Score"] = cons
+                scores["motion_norm"] = jax.vmap(
+                    lambda e: F.motion_score(e.astype(jnp.float32))
+                )(extr)
+            if "MVCS" in names:
+                def mvcs_one(d, Ki, Ei):
+                    bottom = jnp.broadcast_to(
+                        jnp.array([0.0, 0, 0, 1]), Ei.shape[:-2] + (1, 4)
+                    )
+                    return F.mvcs(
+                        d.astype(jnp.float32), Ki.astype(jnp.float32),
+                        jnp.concatenate([Ei, bottom], axis=-2).astype(jnp.float32),
+                    )
+
+                scores["MVCS"] = jax.vmap(mvcs_one)(depth, intr, extr)
+            return scores, extr
+
+        self._forward_cache[key] = run
+        return run
+
     # ------------------------------------------------------------------
     # Public API (reference-compatible)
     # ------------------------------------------------------------------
@@ -317,7 +420,8 @@ class VideoProcessor:
         first = all_frames[0]
         raw_ok = (first.dtype == np.uint8 and (
             self.backbone == "da3"
-            or first.shape[1] == first.shape[2] == 518
+            or (first.shape[1] == first.shape[2]
+                and first.shape[2] in (518, getattr(self.config, "img_size", 518)))
         ))
         if raw_ok:
             # raw uint8 upload, normalize on device (see _device_fn_batched)
@@ -337,19 +441,50 @@ class VideoProcessor:
             images = jnp.asarray(imgs)
 
         results = [dict() for _ in range(K)]
+        if self._fused_ok(gt_is_upload=raw_ok or self.backbone == "da3"):
+            for th in thresholds:
+                run = self._device_fn_scored(float(th), K)
+                scores, extr = run(self.params, self._fused_lpips_params() or {},
+                                   images)
+                host = {k: np.asarray(v) for k, v in scores.items()}
+                extr_np = np.asarray(extr)
+                for i in range(K):
+                    results[i][th] = self._assemble_fused(host, i, all_frames[i])
+                    results[i]["_extrinsic"] = extr_np[i].tolist()
+            return results
         for th in thresholds:
             out = self._device_fn_batched(float(th), K)(self.params, images)
-            reproj = np.asarray(out["reprojected"])
             extr = np.asarray(out["extrinsic"])
-            intr = np.asarray(out["intrinsic"])
-            depth = np.asarray(out["depth"])
             for i in range(K):
+                # device slices — the (K, S, 3, H, W) stack stays on device
                 results[i][th] = self.compute_metrics(
-                    all_frames[i], reproj[i], extr[i],
-                    intrinsics=intr[i], depths=depth[i],
+                    all_frames[i], out["reprojected"][i], extr[i],
+                    intrinsics=out["intrinsic"][i], depths=out["depth"][i],
                 )
                 results[i]["_extrinsic"] = extr[i].tolist()
         return results
+
+    def _fused_ok(self, gt_is_upload: bool) -> bool:
+        """Fused on-device scoring applies when every requested metric is
+        device-computable (Epipolar allowed: it only needs host gt frames)
+        and the uploaded images ARE the metric gt (raw/518 path)."""
+        if os.environ.get("VIDEOGPA_NO_FUSED_METRICS") == "1":
+            return False
+        allowed = set(self.FUSABLE_METRICS) | {"Epipolar"}
+        return gt_is_upload and all(n in allowed for n in self.metrics)
+
+    def _assemble_fused(self, host: Dict[str, np.ndarray], i: int,
+                        gt_frames: np.ndarray) -> Dict[str, float]:
+        r: Dict[str, float] = {}
+        for name, metric_fn in self.metrics.items():
+            if name == "Epipolar":
+                r[name] = metric_fn.compute(gt=gt_frames, rep=None)
+            elif name == "Consistency_Score":
+                r[name] = float(host[name][i])
+                r["motion_norm"] = float(host["motion_norm"][i])
+            else:
+                r[name] = float(host[name][i])
+        return r
 
     def process_frames(
         self,
@@ -368,7 +503,8 @@ class VideoProcessor:
         if self.backbone == "da3":
             # raw uint8 upload; ImageNet normalization happens on device
             images = jnp.asarray(frames_np[None])
-        elif (frames_np.shape[1] == frames_np.shape[2] == 518
+        elif (frames_np.shape[1] == frames_np.shape[2]
+              and frames_np.shape[2] in (518, getattr(self.config, "img_size", 518))
               and frames_np.dtype == np.uint8):
             # fast path: already 518x518 -> raw uint8 upload, normalize on
             # device (4x less tunnel traffic than host-side f32)
@@ -378,6 +514,19 @@ class VideoProcessor:
 
         results: Dict[Any, Any] = {}
         extr_np = None
+        if (not save_visuals
+                and self._fused_ok(gt_is_upload=images.dtype == jnp.uint8)):
+            for th in thresholds:
+                run = self._device_fn_scored(float(th), 1)
+                scores, extr = run(self.params, self._fused_lpips_params() or {},
+                                   images)
+                host = {k: np.asarray(v) for k, v in scores.items()}
+                extr_np = np.asarray(extr)[0]
+                results[th] = self._assemble_fused(host, 0, frames_np)
+            results["_extrinsic"] = (
+                extr_np.tolist() if extr_np is not None else None
+            )
+            return results
         for th in thresholds:
             out = self._device_fn(float(th))(self.params, images)
             extr_np = np.asarray(out["extrinsic"])
