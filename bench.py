@@ -127,15 +127,19 @@ def bench_reward(attn_impl="auto", params=None):
         scores = vp.process_frames(frames, thresholds=[0])
     dt = (time.perf_counter() - t0) / n_iter
 
-    # batched scoring throughput (K clips per device program)
+    # batched scoring throughput (K clips per device program) through the
+    # fused scored program: backbone + geometry + reprojection + metric
+    # scalars in ONE jit, timed to the host-side scalar pull — the real
+    # per-clip cost of the production scoring path
     K = int(os.environ.get("VIDEOGPA_BENCH_REWARD_BATCH", "4"))
     images = jnp.asarray(np.random.default_rng(1).standard_normal(
         (K, 10, 3, 518, 518)).astype(np.float32) * 0.2 + 0.5)
-    runb = vp._device_fn_batched(0.0, K)
-    jax.block_until_ready(runb(vp.params, images))  # compile
+    runs = vp._device_fn_scored(0.0, K)
+    lp = vp._fused_lpips_params() or {}
+    jax.block_until_ready(runs(vp.params, lp, images))  # compile
     t0 = time.perf_counter()
-    out = runb(vp.params, images)
-    s = float(np.asarray(jnp.sum(out["reprojected"])))
+    sc, _extr = runs(vp.params, lp, images)
+    _pulled = {k: np.asarray(v) for k, v in sc.items()}
     dtb = time.perf_counter() - t0
     return 60.0 / dt, K * 60.0 / dtb, scores[0]
 

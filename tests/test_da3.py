@@ -94,7 +94,10 @@ class TestDA3Scorer:
         from videogpa_tpu.reward import VideoProcessor
 
         cfg = DA3Config.tiny()
-        params = da3_init(jax.random.PRNGKey(0), cfg)
+        # seed 1: finite predicted intrinsics (seed 0's random weights emit
+        # fov -> 0 => fy = inf, making the reprojection undefined garbage
+        # that legitimately differs between compilations)
+        params = da3_init(jax.random.PRNGKey(1), cfg)
         metrics = {
             "MSE": MSEMetric(),
             "Consistency_Score": ConsistencyScore(lpips_params=None),
@@ -112,6 +115,21 @@ class TestDA3Scorer:
         for k in ("MSE", "Consistency_Score", "motion_norm", "MVCS"):
             assert np.isfinite(res[k]), (k, res[k])
         assert np.asarray(results["_extrinsic"]).shape == (3, 3, 4)
+
+        # fused on-device scoring matches the per-metric host loop (da3 path)
+        import os
+        os.environ["VIDEOGPA_NO_FUSED_METRICS"] = "1"
+        try:
+            vp_ref = VideoProcessor(
+                metrics, params=params, config=cfg, backbone="da3",
+                compute_dtype=jnp.float32, attn_impl="xla",
+            )
+            ref = vp_ref.process_frames(frames, thresholds=[0])[0]
+        finally:
+            del os.environ["VIDEOGPA_NO_FUSED_METRICS"]
+        for k in ("MSE", "Consistency_Score", "motion_norm", "MVCS"):
+            np.testing.assert_allclose(res[k], ref[k], rtol=1e-4, atol=1e-6,
+                                       err_msg=k)
 
 
 class TestCameraConditioning:
