@@ -43,6 +43,9 @@ def build_score_config():
         "resume": parse_bool_env("SCORE_RESUME", False),
         "max_videos": int(os.getenv("SCORE_MAX_VIDEOS", "0")),
         "seed_filter": os.getenv("SCORE_SEED_FILTER", ""),
+        # clips per device program (TPU upgrade over the reference's
+        # one-process-per-GPU pools; 1 = reference-identical per-video loop)
+        "score_batch": int(os.getenv("SCORE_BATCH", "1")),
     }
 
 
@@ -120,38 +123,66 @@ def main():
         done_paths = {r["video_path"] for r in rows}
         print(f"resuming: {len(rows)} already scored")
 
-    for i, task in enumerate(tasks):
-        if task["path"] in done_paths:
-            continue
-        row = {
+    def row_for(task):
+        return {
             "prompt_id": task["prompt_id"],
             "video_name": os.path.basename(task["path"]),
             "video_path": task["path"],
             "relative_path": task["relative_path"],
             "backbone": cfg["backbone"],
         }
+
+    def fill(row, res):
+        row.update({
+            "mse": float(res.get("MSE", 0.0)),
+            "consistency_score": float(res.get("Consistency_Score", 0.0)),
+            "motion_score": float(res.get("motion_norm", 0.0)),
+            "psnr": float(res.get("PSNR", 0.0)),
+            "ssim": float(res.get("SSIM", 0.0)),
+            "lpips": float(res.get("LPIPS", 0.0)),
+            "mvcs": float(res.get("MVCS", 0.0)),
+            "epipolar": float(res.get("Epipolar", 0.0)),
+        })
+
+    def score_single(task):
+        row = row_for(task)
         try:
             results = vp.process(task["path"], thresholds=[cfg["conf_thres"]],
                                  num_frames=cfg["num_frames"])
-            res = results.get(cfg["conf_thres"], {})
-            row.update({
-                "mse": float(res.get("MSE", 0.0)),
-                "consistency_score": float(res.get("Consistency_Score", 0.0)),
-                "motion_score": float(res.get("motion_norm", 0.0)),
-                "psnr": float(res.get("PSNR", 0.0)),
-                "ssim": float(res.get("SSIM", 0.0)),
-                "lpips": float(res.get("LPIPS", 0.0)),
-                "mvcs": float(res.get("MVCS", 0.0)),
-                "epipolar": float(res.get("Epipolar", 0.0)),
-            })
+            fill(row, results.get(cfg["conf_thres"], {}))
         except Exception as e:
             print(f"failed {task['path']}: {e}")
             row["error"] = str(e)
             for col in METRIC_COLS:
                 row.setdefault(col, None)
-        rows.append(row)
-        if (i + 1) % 10 == 0:
-            print(f"[{i + 1}/{len(tasks)}]")
+        return row
+
+    pending = [t for t in tasks if t["path"] not in done_paths]
+    B = max(1, cfg["score_batch"])
+    done = 0
+    for start in range(0, len(pending), B):
+        chunk = pending[start : start + B]
+        if len(chunk) > 1:
+            # K clips per device program (fused scored graph); on any
+            # failure fall back to the per-video loop for this chunk so one
+            # bad file doesn't lose the batch
+            try:
+                batch_res = vp.process_paths(
+                    [t["path"] for t in chunk], thresholds=[cfg["conf_thres"]],
+                    num_frames=cfg["num_frames"],
+                )
+                for task, res in zip(chunk, batch_res):
+                    row = row_for(task)
+                    fill(row, res.get(cfg["conf_thres"], {}))
+                    rows.append(row)
+            except Exception as e:
+                print(f"batch failed ({e}); retrying singly")
+                rows.extend(score_single(t) for t in chunk)
+        else:
+            rows.extend(score_single(t) for t in chunk)
+        done += len(chunk)
+        if done % 10 < len(chunk):
+            print(f"[{done}/{len(pending)}]")
 
     os.makedirs(os.path.dirname(os.path.abspath(cfg["output_csv"])), exist_ok=True)
     cols = ["prompt_id", "video_name", "video_path", "relative_path", "backbone",

@@ -208,8 +208,12 @@ def _make_tiny_generator(cfg, t5_cfg, tokenizer):
 
 
 class TestReplicateScorerE2E:
-    def test_full_scoring_run(self, tmp_path, monkeypatch):
-        """replicate.sh step 2 mirror on tiny configs: scan -> score -> CSV."""
+    @pytest.mark.parametrize("score_batch", ["1", "2"])
+    def test_full_scoring_run(self, tmp_path, monkeypatch, score_batch):
+        """replicate.sh step 2 mirror on tiny configs: scan -> score -> CSV.
+
+        score_batch=2 exercises the K-clips-per-device-program upgrade
+        (SCORE_BATCH env; 1 = reference-identical per-video loop)."""
         import csv
         import importlib
 
@@ -239,6 +243,7 @@ class TestReplicateScorerE2E:
         monkeypatch.setenv("SCORE_OUTPUT_CSV", str(tmp_path / "scores.csv"))
         monkeypatch.setenv("SCORE_NUM_FRAMES", "4")
         monkeypatch.setenv("SCORE_BACKBONE", "vggt")
+        monkeypatch.setenv("SCORE_BATCH", score_batch)
 
         import replicate_scorer
 
