@@ -54,6 +54,10 @@ def score_groups(
         video["motion_norm"] = float(res[th0]["motion_norm"])
 
     if batch_size > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from videogpa_tpu.data.video_io import sample_uniform_frames
+
         pending = []  # (video dict, full path)
         for group in groups:
             for video in group.get("videos", []):
@@ -64,29 +68,56 @@ def score_groups(
                 else:
                     full = os.path.join(base_dir, vp_path) if base_dir else vp_path
                     pending.append((video, full))
-        for c0 in range(0, len(pending), batch_size):
-            chunk = pending[c0 : c0 + batch_size]
-            try:
-                res_list = processor.process_paths(
-                    [p for _, p in chunk], list(thresholds), num_frames
-                )
-                for (video, _), res in zip(chunk, res_list):
-                    apply_result(video, res)
-                n_done += len(chunk)
-            except Exception as e:  # fall back to per-item isolation
-                print(f"  batch failed ({e}); retrying per clip")
-                for video, full in chunk:
+        chunks = [
+            pending[c0 : c0 + batch_size]
+            for c0 in range(0, len(pending), batch_size)
+        ]
+
+        def decode(chunk):
+            return [
+                sample_uniform_frames(p, n_frames=num_frames) for _, p in chunk
+            ]
+
+        # prefetch: decode chunk i+1 on a worker thread while chunk i runs
+        # on device (the reference hides decode behind its per-GPU process
+        # pool; here one pipelined stream does the same)
+        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+            fut = prefetcher.submit(decode, chunks[0]) if chunks else None
+            for ci, chunk in enumerate(chunks):
+                try:
+                    frames = fut.result()
+                except Exception as e:
+                    print(f"  chunk decode failed ({e}); retrying per clip")
+                    frames = None
+                # always advance the prefetch, whatever happened to chunk i
+                fut = (prefetcher.submit(decode, chunks[ci + 1])
+                       if ci + 1 < len(chunks) else None)
+                batch_err = None
+                if frames is not None:
                     try:
-                        res = processor.process(
-                            full, thresholds=list(thresholds),
-                            num_frames=num_frames,
+                        res_list = processor.process_frames_batch(
+                            frames, list(thresholds)
                         )
-                        apply_result(video, res)
-                        n_done += 1
-                    except Exception as e2:
-                        print(f"  failed {video['video_path']}: {e2}")
-                        n_fail += 1
-            safe_save_json(data, output_json)
+                        for (video, _), res in zip(chunk, res_list):
+                            apply_result(video, res)
+                        n_done += len(chunk)
+                    except Exception as e:
+                        batch_err = e
+                if frames is None or batch_err is not None:
+                    if batch_err is not None:
+                        print(f"  batch failed ({batch_err}); retrying per clip")
+                    for video, full in chunk:  # per-item isolation
+                        try:
+                            res = processor.process(
+                                full, thresholds=list(thresholds),
+                                num_frames=num_frames,
+                            )
+                            apply_result(video, res)
+                            n_done += 1
+                        except Exception as e2:
+                            print(f"  failed {video['video_path']}: {e2}")
+                            n_fail += 1
+                safe_save_json(data, output_json)
         return {"scored": n_done, "failed": n_fail, "resumed": n_skip}
 
     for gi, group in enumerate(groups):

@@ -416,6 +416,13 @@ class VideoProcessor:
                 lambda p: sample_uniform_frames(p, n_frames=num_frames),
                 video_paths,
             ))
+        return self.process_frames_batch(all_frames, thresholds)
+
+    def process_frames_batch(self, all_frames, thresholds):
+        """Score K pre-decoded clips (list of (S, H, W, 3) uint8 arrays) in
+        one device program per threshold. The decode/score split lets a
+        caller prefetch-decode the next chunk while this one runs on device
+        (``cli.score.score_groups``)."""
         K = len(all_frames)
         first = all_frames[0]
         raw_ok = (first.dtype == np.uint8 and (
