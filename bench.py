@@ -264,11 +264,22 @@ def bench_overlap():
     # init directly in bf16: an f32 VGGT-1B init (~4.9 GB transient) next to
     # the resident 5B bf16 DiT overflows the 16 GB chip
     vggt = vggt_init(jax.random.PRNGKey(2), vcfg, dtype=jnp.bfloat16)
+    from videogpa_tpu.metrics import ConsistencyScore, MSEMetric
+
     # dpt_chunk=2: the DPT fusion features are the scorer's peak-memory
     # tensor; at the default chunk the scorer's temp arena (2.4 GiB, AOT
-    # memory_analysis) does not co-reside with the 10.4 GiB resident DiT
-    vp = VideoProcessor({"MSE": None}, params=vggt, config=vcfg, dpt_chunk=2)
-    scorer = vp._device_fn(0.0)
+    # memory_analysis) does not co-reside with the 10.4 GiB resident DiT.
+    # Scoring runs the fused scored program (metric scalars on device).
+    vp = VideoProcessor(
+        {"MSE": MSEMetric(), "Consistency_Score": ConsistencyScore(None)},
+        params=vggt, config=vcfg, dpt_chunk=2,
+    )
+    scored = vp._device_fn_scored(0.0, 1)
+    lp = vp._fused_lpips_params() or {}
+
+    def scorer(params, frames_dev):
+        sc, _extr = scored(params, lp, frames_dev)
+        return sc
 
     B, F = 2, 13
     txt = jax.random.normal(jax.random.PRNGKey(3), (B, 226, 4096), jnp.bfloat16)
@@ -318,7 +329,10 @@ def bench_overlap():
         return vae_decode_tiled(params=vae, latents=lat, cfg=cfg, tile_latent=tile)
 
     def reward_sum(out):
-        return float(np.asarray(jnp.sum(out["reprojected"])))
+        # pull the metric scalars (the production artifact of scoring)
+        return float(np.asarray(out["Consistency_Score"])) + float(
+            np.asarray(out["motion_norm"])
+        )
 
     # warm up / compile every program
     x = run_denoise(x0)
