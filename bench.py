@@ -52,7 +52,7 @@ def _enable_compile_cache():
     enable()
 
 
-def bench_denoise(attn_impl="auto"):
+def bench_denoise(attn_impl="auto", w8a8=False):
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +60,10 @@ def bench_denoise(attn_impl="auto"):
 
     cfg = CogVideoXConfig.cogvideox_5b()
     params = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if w8a8:
+        from videogpa_tpu.ops.quant import quantize_dit_int8
+
+        params = jax.jit(quantize_dit_int8)(params)
     jax.block_until_ready(params)
 
     B, F = 2, 13  # CFG pair, 49 pixel frames
@@ -413,6 +417,15 @@ def main():
             result["int8_vs_baseline"] = round(sps_i8 / BASELINE_STEPS_PER_SEC, 3)
         except Exception as e:  # pragma: no cover - environment hiccups
             result["int8_error"] = str(e)[:200]
+    if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1":
+        try:
+            # full int8 inference mode: W8A8 projections/FFN + int8-QK attn
+            sps_q, dt_q = bench_denoise(attn_impl="flash_int8", w8a8=True)
+            result["w8a8_steps_per_sec"] = round(sps_q, 4)
+            result["w8a8_step_ms"] = round(dt_q * 1000, 1)
+            result["w8a8_vs_baseline"] = round(sps_q / BASELINE_STEPS_PER_SEC, 3)
+        except Exception as e:  # pragma: no cover
+            result["w8a8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_WAN") == "1":
         try:
             wan_sps = bench_wan()

@@ -35,6 +35,11 @@ def main():
         help="flow solver; unipc matches the reference engine default",
     )
     parser.add_argument("--base_dir", type=str, default=None)
+    parser.add_argument(
+        "--w8a8", action="store_true",
+        help="int8-quantize the DiT attention/FFN weights; dynamic W8A8 "
+             "GEMMs on the int8 MXU (inference-only; ops/quant.py)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -77,6 +82,12 @@ def main():
         lora = import_peft(args.lora_path, cfg.num_layers, block_prefix="blocks")
         dit = merge_lora(dit, lora, acfg["r"], acfg["lora_alpha"], weight=args.lora_weight, layout="wan")
         print(f"LoRA merged (relative weight {args.lora_weight})")
+
+    if args.w8a8:
+        from videogpa_tpu.ops.quant import quantize_wan_int8
+
+        dit = jax.jit(quantize_wan_int8)(dit)
+        print("Wan DiT attention/FFN weights quantized to int8 (W8A8)")
 
     def encode(text):
         t = tok(text, padding="max_length", truncation=True,

@@ -1,0 +1,110 @@
+"""W8A8 dynamic-quantized inference (ops/quant.py): numerics + wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videogpa_tpu.ops import layers as L
+from videogpa_tpu.ops.quant import (
+    quantize_dit_int8,
+    quantize_linear,
+    quantize_wan_int8,
+)
+
+
+def _cos(a, b):
+    a, b = a.ravel(), b.ravel()
+    return float(jnp.sum(a * b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+
+
+class TestQuantizedLinear:
+    def test_close_to_exact(self):
+        p = L.linear_init(jax.random.PRNGKey(0), 256, 512)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 33, 256))
+        y = L.linear(p, x)
+        yq = L.linear(quantize_linear(p), x)
+        assert _cos(y, yq) > 0.9999
+        rel = float(jnp.linalg.norm(y - yq) / jnp.linalg.norm(y))
+        assert rel < 0.02, rel
+
+    def test_stacked_kernels_quantize_per_layer(self):
+        """lax.scan-stacked (L, in, out) kernels get per-(layer, channel)
+        scales — layer 1's magnitude must not leak into layer 0's scale."""
+        k0 = L.linear_init(jax.random.PRNGKey(0), 16, 8)
+        k1 = {"kernel": k0["kernel"] * 100.0, "bias": k0["bias"]}
+        stacked = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), k0, k1
+        )
+        q = quantize_linear(stacked)
+        q0 = quantize_linear(k0)
+        np.testing.assert_array_equal(np.asarray(q["w_int8"][0]),
+                                      np.asarray(q0["w_int8"]))
+        np.testing.assert_allclose(np.asarray(q["w_scale"][0]),
+                                   np.asarray(q0["w_scale"]))
+
+    def test_no_bias_and_jit_dispatch(self):
+        """Bias-less layers quantize, and the dispatch works under jit
+        (the DiT folds quantized block params through lax.scan)."""
+        p = {"kernel": jax.random.normal(jax.random.PRNGKey(0), (64, 32))}
+        q = quantize_linear(p)
+        assert "bias" not in q and q["w_int8"].dtype == jnp.int8
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 64))
+        y = jax.jit(lambda q, x: L.linear(q, x))(q, x)
+        assert _cos(L.linear(p, x), y) > 0.9999
+
+
+class TestQuantizedDiT:
+    def test_cogvideox_forward_cosine(self):
+        from videogpa_tpu.models.cogvideox import (
+            CogVideoXConfig,
+            dit_forward,
+            dit_init,
+        )
+
+        cfg = CogVideoXConfig.tiny()
+        params = dit_init(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_dit_int8(params)
+        B, F = 1, 2
+        x = jax.random.normal(jax.random.PRNGKey(2), (B, F, cfg.in_channels, 8, 12))
+        txt = jax.random.normal(jax.random.PRNGKey(3), (B, 7, cfg.text_embed_dim))
+        t = jnp.full((B,), 500)
+        o1 = dit_forward(params, x, txt, t, cfg, attn_impl="xla",
+                         compute_dtype=jnp.float32)
+        o2 = dit_forward(qparams, x, txt, t, cfg, attn_impl="xla",
+                         compute_dtype=jnp.float32)
+        assert _cos(o1, o2) > 0.999
+
+    def test_wan_forward_cosine(self):
+        from videogpa_tpu.models.wan import WanConfig
+        from videogpa_tpu.models.wan.dit import wan_forward, wan_init
+
+        cfg = WanConfig.tiny()
+        params = wan_init(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_wan_int8(params)
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.in_channels, 3, 8, 8))
+        txt = jax.random.normal(jax.random.PRNGKey(5), (1, 9, cfg.text_dim))
+        t = jnp.full((1,), 500.0)
+        o1 = wan_forward(params, x, t, txt, cfg, attn_impl="xla")
+        o2 = wan_forward(qparams, x, t, txt, cfg, attn_impl="xla")
+        assert _cos(o1, o2) > 0.999
+
+    def test_lora_merges_before_quantization(self):
+        """The generate CLI quantizes AFTER merge_lora: a merged-then-
+        quantized model must differ from base-quantized."""
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_init
+        from videogpa_tpu.train.lora import lora_init, merge_lora
+
+        cfg = CogVideoXConfig.tiny()
+        params = dit_init(jax.random.PRNGKey(0), cfg)
+        lora = lora_init(jax.random.PRNGKey(1), cfg.num_layers, cfg.hidden_dim,
+                         rank=2)
+        # lora_init B=0 -> scale A so the delta is nonzero
+        lora = jax.tree_util.tree_map(
+            lambda x: jnp.ones_like(x) * 0.01, lora
+        )
+        merged = merge_lora(params, lora, 2, 4.0)
+        qa = quantize_dit_int8(params)
+        qb = quantize_dit_int8(merged)
+        d = np.abs(np.asarray(qa["blocks"]["attn1"]["to_q"]["w_int8"], np.int32)
+                   - np.asarray(qb["blocks"]["attn1"]["to_q"]["w_int8"], np.int32))
+        assert d.max() > 0

@@ -36,6 +36,12 @@ def add_common_args(parser: argparse.ArgumentParser, base_model: str):
         help="attention kernel; flash_int8 = SageAttention-style int8 QK "
              "production-inference mode (~7%% faster, cosine 0.999995)",
     )
+    parser.add_argument(
+        "--w8a8", action="store_true",
+        help="quantize the DiT projection/FFN weights to int8 and run "
+             "dynamic per-token W8A8 GEMMs on the int8 MXU "
+             "(inference-only; ops/quant.py)",
+    )
     return parser
 
 
@@ -99,6 +105,14 @@ class CogVideoXGenerator:
             print(f"LoRA merged from {args.lora_path}")
         elif args.lora_path:
             print(f"LoRA path not found: {args.lora_path}, using base model")
+        if getattr(args, "w8a8", False):
+            # after any LoRA merge, so the adapter quantizes with the base
+            import jax
+
+            from videogpa_tpu.ops.quant import quantize_dit_int8
+
+            self.dit = jax.jit(quantize_dit_int8)(self.dit)
+            print("DiT projection/FFN weights quantized to int8 (W8A8)")
 
     def encode_prompt(self, prompt: str):
         import jax.numpy as jnp

@@ -82,6 +82,10 @@ def conv2d_init(
 # ---------------------------------------------------------------------------
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
+    if "w_int8" in p:  # W8A8 inference mode (ops/quant.py)
+        from videogpa_tpu.ops.quant import linear_w8a8
+
+        return linear_w8a8(p, x)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)

@@ -1,0 +1,114 @@
+"""W8A8 dynamic-quantized linear layers for inference (TPU int8 MXU).
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
+TOP/s); the DiT's projection/FFN GEMMs are ~2.4 s of the 6.4 s CogVideoX-5B
+denoise step, so quantizing them is the largest remaining inference lever
+after the int8-QK attention mode (``ops/attention.py::_flash_int8``).
+
+Scheme (SmoothQuant-style dynamic W8A8, inference only):
+- weights: symmetric per-OUTPUT-channel int8, quantized once at load time
+  (``quantize_linear`` / ``quantize_dit_int8``);
+- activations: symmetric per-TOKEN int8, quantized on the fly inside the
+  jit (an abs-max reduce + scale — VPU work that rides the same activation
+  pass the GEMM needs anyway);
+- accumulate int32 on the MXU, rescale f32: y = (qx @ qw) * (sx * sw) + b.
+
+``ops.layers.linear`` dispatches on the presence of ``w_int8`` in the param
+dict, so any call site accepts quantized params unchanged. LoRA deltas
+apply on the f32 path on top (they read the raw activations, not qx).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jax.Array]
+
+
+def quantize_linear(p: Params) -> Params:
+    """{"kernel" (..., in, out), "bias"?} -> {"w_int8", "w_scale", "bias"?}.
+
+    Works on lax.scan-stacked kernels ((L, in, out)) too: the reduction axis
+    is always -2 (in_features), giving per-(layer, out-channel) scales.
+    """
+    k = p["kernel"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=-2, keepdims=True)  # (..., 1, out)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    out: Params = {"w_int8": q, "w_scale": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def linear_w8a8(p: Params, x: jax.Array) -> jax.Array:
+    """Dynamic per-token int8 activation x per-channel int8 weight matmul."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    qx = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qx, p["w_int8"],
+        (((qx.ndim - 1,), (p["w_int8"].ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * p["w_scale"].astype(jnp.float32))
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_tree_linears(params, paths) -> None:
+    """In-place quantize the linear dicts at the given key paths.
+
+    ``paths``: iterable of key tuples into ``params`` whose leaves are
+    {"kernel", "bias"?} dicts (stacked or not).
+    """
+    for path in paths:
+        node = params
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = quantize_linear(node[path[-1]])
+
+
+def quantize_dit_int8(params: dict) -> dict:
+    """CogVideoX DiT: quantize the per-block projection/FFN linears.
+
+    Returns a copy of the param tree with blocks' to_q/to_k/to_v/to_out and
+    ff.fc1/fc2 replaced by int8 weights + scales (the ~2.4 s of GEMMs in the
+    5B denoise step). Embedders, AdaLN modulation and output head stay f32 —
+    they are small and range-sensitive.
+    """
+    import copy
+
+    params = copy.copy(params)
+    params["blocks"] = copy.deepcopy(params["blocks"])
+    blocks = params["blocks"]
+    for name in ("to_q", "to_k", "to_v", "to_out"):
+        blocks["attn1"][name] = quantize_linear(blocks["attn1"][name])
+    for name in ("fc1", "fc2"):
+        blocks["ff"][name] = quantize_linear(blocks["ff"][name])
+    return params
+
+
+def quantize_wan_int8(params: dict) -> dict:
+    """Wan DiT: quantize the per-block self/cross-attention and FFN linears."""
+    import copy
+
+    params = copy.copy(params)
+    params["blocks"] = copy.deepcopy(params["blocks"])
+    blocks = params["blocks"]
+    for attn in ("self_attn", "cross_attn"):
+        if attn not in blocks:
+            continue
+        for name in ("q", "k", "v", "o"):
+            if name in blocks[attn]:
+                blocks[attn][name] = quantize_linear(blocks[attn][name])
+    if "ffn" in blocks:
+        for name in list(blocks["ffn"].keys()):
+            leaf = blocks["ffn"][name]
+            if isinstance(leaf, dict) and "kernel" in leaf:
+                blocks["ffn"][name] = quantize_linear(leaf)
+    return params
