@@ -112,6 +112,11 @@ def bench_reward(attn_impl="auto", params=None):
     cfg = VGGTConfig()
     if params is None:
         params = vggt_init(jax.random.PRNGKey(0), cfg)
+        if attn_impl == "flash_int8":
+            # full int8 scoring mode: int8-QK attention + W8A8 trunk GEMMs
+            from videogpa_tpu.ops.quant import quantize_vggt_int8
+
+            params = jax.jit(quantize_vggt_int8)(params)
     metrics = {
         "MSE": MSEMetric(),
         "Consistency_Score": ConsistencyScore(None),

@@ -88,6 +88,22 @@ class TestQuantizedDiT:
         o2 = wan_forward(qparams, x, t, txt, cfg, attn_impl="xla")
         assert _cos(o1, o2) > 0.999
 
+    def test_vggt_trunk_cosine(self):
+        from videogpa_tpu.models.vggt import VGGTConfig, vggt_forward, vggt_init
+        from videogpa_tpu.ops.quant import quantize_vggt_int8
+
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_vggt_int8(params)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                                  (1, 2, 3, cfg.img_size, cfg.img_size))
+        o1 = vggt_forward(params, imgs, cfg, attn_impl="xla",
+                          compute_dtype=jnp.float32)
+        o2 = vggt_forward(qparams, imgs, cfg, attn_impl="xla",
+                          compute_dtype=jnp.float32)
+        assert _cos(o1["depth"], o2["depth"]) > 0.99
+        assert _cos(o1["pose_enc"], o2["pose_enc"]) > 0.99
+
     def test_lora_merges_before_quantization(self):
         """The generate CLI quantizes AFTER merge_lora: a merged-then-
         quantized model must differ from base-quantized."""

@@ -93,6 +93,37 @@ def quantize_dit_int8(params: dict) -> dict:
     return params
 
 
+def _quantize_vit_blocks(blocks: dict) -> dict:
+    """Quantize one stacked ViT block tree ({"attn": {qkv, proj}, "mlp":
+    {fc1, fc2} | swiglu w1/w2/w3})."""
+    import copy
+
+    blocks = copy.deepcopy(blocks)
+    for name in ("qkv", "proj"):
+        if name in blocks.get("attn", {}):
+            blocks["attn"][name] = quantize_linear(blocks["attn"][name])
+    mlp = blocks.get("mlp", {})
+    for name in list(mlp.keys()):
+        leaf = mlp[name]
+        if isinstance(leaf, dict) and "kernel" in leaf:
+            mlp[name] = quantize_linear(leaf)
+    return blocks
+
+
+def quantize_vggt_int8(params: dict) -> dict:
+    """VGGT: quantize the aggregator's frame/global trunk GEMMs (the reward
+    scorer's matmul bulk). Patch embed, camera head and DPT heads stay f32
+    (small / range-sensitive; the heads run f32 by reference parity)."""
+    import copy
+
+    params = copy.copy(params)
+    agg = copy.copy(params["aggregator"])
+    for key in ("frame_blocks", "global_blocks"):
+        agg[key] = _quantize_vit_blocks(agg[key])
+    params["aggregator"] = agg
+    return params
+
+
 def quantize_wan_int8(params: dict) -> dict:
     """Wan DiT: quantize the per-block self/cross-attention and FFN linears."""
     import copy
