@@ -153,7 +153,7 @@ def bench_reward(attn_impl="auto", params=None):
     return 60.0 / dt, K * 60.0 / dtb, scores[0]
 
 
-def bench_wan():
+def bench_wan(attn_impl="auto", w8a8=False):
     import jax
     import jax.numpy as jnp
 
@@ -162,11 +162,20 @@ def bench_wan():
 
     cfg = WanConfig.ti2v_5b()
     params = wan_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if w8a8:
+        from videogpa_tpu.ops.quant import quantize_wan_int8
+
+        params = jax.jit(quantize_wan_int8)(params)
+    jax.block_until_ready(params)
     B = 2  # CFG pair
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 48, 21, 44, 80), jnp.bfloat16)
     txt = jax.random.normal(jax.random.PRNGKey(2), (B, 512, 4096), jnp.bfloat16)
     t = jnp.full((B,), 500.0)
-    f = jax.jit(lambda p, x, txt, t: jnp.sum(wan_forward(p, x, t, txt, cfg)))
+    f = jax.jit(
+        lambda p, x, txt, t: jnp.sum(
+            wan_forward(p, x, t, txt, cfg, attn_impl=attn_impl)
+        )
+    )
     float(np.asarray(f(params, x, txt, t)))
     t0 = time.perf_counter()
     for _ in range(3):
@@ -451,6 +460,16 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             result["wan_error"] = str(e)[:200]
+        if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1":
+            try:
+                # Wan production int8 inference mode (W8A8 GEMMs + int8-QK)
+                wan_q = bench_wan(attn_impl="flash_int8", w8a8=True)
+                result["wan_w8a8_steps_per_sec"] = round(wan_q, 4)
+                result["wan_w8a8_vs_baseline"] = round(
+                    wan_q / WAN_BASELINE_STEPS_PER_SEC, 3
+                )
+            except Exception as e:  # pragma: no cover
+                result["wan_w8a8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
         single, batched, scores = bench_reward()
         result["reward_clips_per_min"] = round(single, 2)
