@@ -35,6 +35,14 @@ import time
 
 import numpy as np
 
+# Smoke mode: VIDEOGPA_BENCH_TINY=1 swaps every model for its tiny() preset
+# (shapes derived from the config, same code paths) and VIDEOGPA_BENCH_CPU=1
+# forces the CPU backend with interpreted Pallas kernels — together they let
+# the test suite execute this file's full glue end to end in minutes, so the
+# real-chip round-end run can't be broken by an unexercised code path. Tiny
+# numbers are meaningless as throughput; the JSON carries "tiny": true.
+_TINY = os.environ.get("VIDEOGPA_BENCH_TINY") == "1"
+
 BASELINE_STEPS_PER_SEC = 0.15  # A100-class diffusers estimate (see docstring)
 H100_ESTIMATE_STEPS_PER_SEC = 0.20  # round-1 denominator, kept for comparison
 # A100-class denominators for the other two headline metrics, derived from
@@ -58,7 +66,7 @@ def bench_denoise(attn_impl="auto", w8a8=False):
 
     from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_forward, dit_init
 
-    cfg = CogVideoXConfig.cogvideox_5b()
+    cfg = CogVideoXConfig.tiny() if _TINY else CogVideoXConfig.cogvideox_5b()
     params = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if w8a8:
         from videogpa_tpu.ops.quant import quantize_dit_int8
@@ -66,9 +74,17 @@ def bench_denoise(attn_impl="auto", w8a8=False):
         params = jax.jit(quantize_dit_int8)(params)
     jax.block_until_ready(params)
 
-    B, F = 2, 13  # CFG pair, 49 pixel frames
-    x = jax.random.normal(jax.random.PRNGKey(1), (B, F, 16, 60, 90), jnp.bfloat16)
-    txt = jax.random.normal(jax.random.PRNGKey(2), (B, 226, 4096), jnp.bfloat16)
+    B, F = 2, cfg.sample_frames  # CFG pair; 13 latent = 49 pixel frames
+    x = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (B, F, cfg.in_channels, cfg.sample_height, cfg.sample_width),
+        jnp.bfloat16,
+    )
+    txt = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (B, cfg.max_text_seq_length, cfg.text_embed_dim),
+        jnp.bfloat16,
+    )
     t = jnp.full((B,), 500)
 
     f = jax.jit(
@@ -109,7 +125,7 @@ def bench_reward(attn_impl="auto", params=None):
     from videogpa_tpu.models.vggt import VGGTConfig, vggt_init
     from videogpa_tpu.reward import VideoProcessor
 
-    cfg = VGGTConfig()
+    cfg = VGGTConfig.tiny() if _TINY else VGGTConfig()
     if params is None:
         params = vggt_init(jax.random.PRNGKey(0), cfg)
         if attn_impl == "flash_int8":
@@ -125,8 +141,9 @@ def bench_reward(attn_impl="auto", params=None):
         "SSIM": SSIMMetric(),
     }
     vp = VideoProcessor(metrics, params=params, config=cfg, attn_impl=attn_impl)
+    S = cfg.img_size
     frames = np.random.default_rng(0).integers(
-        0, 255, (10, 518, 518, 3), dtype=np.uint8
+        0, 255, (10, S, S, 3), dtype=np.uint8
     )
     vp.process_frames(frames, thresholds=[0])  # compile
     t0 = time.perf_counter()
@@ -142,7 +159,7 @@ def bench_reward(attn_impl="auto", params=None):
     # per-clip cost of the production scoring path
     K = int(os.environ.get("VIDEOGPA_BENCH_REWARD_BATCH", "4"))
     images = jnp.asarray(np.random.default_rng(1).standard_normal(
-        (K, 10, 3, 518, 518)).astype(np.float32) * 0.2 + 0.5)
+        (K, 10, 3, S, S)).astype(np.float32) * 0.2 + 0.5)
     runs = vp._device_fn_scored(0.0, K)
     lp = vp._fused_lpips_params() or {}
     jax.block_until_ready(runs(vp.params, lp, images))  # compile
@@ -160,7 +177,7 @@ def bench_wan(attn_impl="auto", w8a8=False):
     from videogpa_tpu.models.wan import WanConfig
     from videogpa_tpu.models.wan.dit import wan_forward, wan_init
 
-    cfg = WanConfig.ti2v_5b()
+    cfg = WanConfig.tiny() if _TINY else WanConfig.ti2v_5b()
     params = wan_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if w8a8:
         from videogpa_tpu.ops.quant import quantize_wan_int8
@@ -168,8 +185,13 @@ def bench_wan(attn_impl="auto", w8a8=False):
         params = jax.jit(quantize_wan_int8)(params)
     jax.block_until_ready(params)
     B = 2  # CFG pair
-    x = jax.random.normal(jax.random.PRNGKey(1), (B, 48, 21, 44, 80), jnp.bfloat16)
-    txt = jax.random.normal(jax.random.PRNGKey(2), (B, 512, 4096), jnp.bfloat16)
+    F, Hh, Ww = (3, 8, 8) if _TINY else (21, 44, 80)  # 81f@704x1280 latents
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (B, cfg.in_channels, F, Hh, Ww), jnp.bfloat16
+    )
+    txt = jax.random.normal(
+        jax.random.PRNGKey(2), (B, cfg.text_len, cfg.text_dim), jnp.bfloat16
+    )
     t = jnp.full((B,), 500.0)
     f = jax.jit(
         lambda p, x, txt, t: jnp.sum(
@@ -197,6 +219,8 @@ def bench_train():
     Returns (steps/sec, step_seconds, scale_label)."""
     from videogpa_tpu.models.cogvideox import CogVideoXConfig
 
+    if _TINY:
+        return _bench_train_cfg(CogVideoXConfig.tiny()) + ("tiny",)
     if os.environ.get("VIDEOGPA_BENCH_TRAIN_5B") == "1":
         return _bench_train_cfg(CogVideoXConfig.cogvideox_5b()) + ("5b",)
     return _bench_train_cfg(CogVideoXConfig.cogvideox_2b()) + ("2b",)
@@ -221,12 +245,15 @@ def _bench_train_cfg(cfg):
     state = init_train_state(lora, tcfg)
     train_step, _ = make_dpo_train_step(base, cfg, tcfg)
 
-    B, F = 1, 13
+    B, F = 1, cfg.sample_frames
+    C, Hh, Ww = cfg.in_channels, cfg.sample_height, cfg.sample_width
     key = jax.random.PRNGKey(2)
     batch = {
-        "x_win": jax.random.normal(key, (B, 16, F, 60, 90), jnp.float32),
-        "x_lose": jax.random.normal(key, (B, 16, F, 60, 90), jnp.float32),
-        "prompt_emb": jax.random.normal(key, (B, 226, 4096), jnp.float32),
+        "x_win": jax.random.normal(key, (B, C, F, Hh, Ww), jnp.float32),
+        "x_lose": jax.random.normal(key, (B, C, F, Hh, Ww), jnp.float32),
+        "prompt_emb": jax.random.normal(
+            key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
+        ),
     }
     state, m = train_step(state, batch, jax.random.PRNGKey(3))  # compile
     float(np.asarray(m["loss"]))
@@ -273,7 +300,7 @@ def bench_overlap():
     from videogpa_tpu.ops.resize import resize_bilinear
     from videogpa_tpu.reward import VideoProcessor
 
-    cfg = CogVideoXConfig.cogvideox_5b()
+    cfg = CogVideoXConfig.tiny() if _TINY else CogVideoXConfig.cogvideox_5b()
     dit = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     # production int8 inference mode (W8A8 GEMMs + int8-QK attention): the
     # quantized 5B DiT is ~6.0 GiB resident vs 10.4 bf16 (AOT
@@ -289,7 +316,7 @@ def bench_overlap():
     vae = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16), vae_init(jax.random.PRNGKey(1), cfg)
     )
-    vcfg = VGGTConfig()
+    vcfg = VGGTConfig.tiny() if _TINY else VGGTConfig()
     # init directly in bf16: an f32 VGGT-1B init (~4.9 GB transient) next to
     # the resident 5B bf16 DiT overflows the 16 GB chip
     vggt = vggt_init(jax.random.PRNGKey(2), vcfg, dtype=jnp.bfloat16)
@@ -310,8 +337,12 @@ def bench_overlap():
         sc, _extr = scored(params, lp, frames_dev)
         return sc
 
-    B, F = 2, 13
-    txt = jax.random.normal(jax.random.PRNGKey(3), (B, 226, 4096), jnp.bfloat16)
+    B, F = 2, cfg.sample_frames
+    txt = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (B, cfg.max_text_seq_length, cfg.text_embed_dim),
+        jnp.bfloat16,
+    )
     t = jnp.full((B,), 500)
     steps_per_clip = int(os.environ.get("VIDEOGPA_BENCH_OVERLAP_STEPS", "2"))
     n_clips = int(os.environ.get("VIDEOGPA_BENCH_OVERLAP_CLIPS", "2"))
@@ -322,7 +353,9 @@ def bench_overlap():
         .astype(jnp.bfloat16)[:, :, : cfg.in_channels]
     )
 
-    n_score_frames = 10
+    pixel_T = (F - 1) * cfg.temporal_compression_ratio + 1
+    n_score_frames = min(10, pixel_T)
+    S = vcfg.img_size
 
     @jax.jit
     def to_score_frames(video):
@@ -334,17 +367,19 @@ def bench_overlap():
         side = min(Hh, Ww)
         y0, x0_ = (Hh - side) // 2, (Ww - side) // 2
         crop = frames[..., y0 : y0 + side, x0_ : x0_ + side]
-        out = resize_bilinear(crop.astype(jnp.float32), (518, 518))
+        out = resize_bilinear(crop.astype(jnp.float32), (S, S))
         return (jnp.clip(out, -1, 1)[None] + 1.0) / 2.0
 
     @jax.jit
     def to_u8(video):
         return jnp.clip((video + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
 
-    resize_up = jax.jit(lambda v: resize_bilinear(v, (518, 518)))
+    resize_up = jax.jit(lambda v: resize_bilinear(v, (S, S)))
 
     x0 = jax.random.normal(
-        jax.random.PRNGKey(4), (B, F, cfg.in_channels, 60, 90), jnp.bfloat16
+        jax.random.PRNGKey(4),
+        (B, F, cfg.in_channels, cfg.sample_height, cfg.sample_width),
+        jnp.bfloat16,
     )
 
     def run_denoise(x):
@@ -358,8 +393,8 @@ def bench_overlap():
 
     def reward_sum(out):
         # pull the metric scalars (the production artifact of scoring)
-        return float(np.asarray(out["Consistency_Score"])) + float(
-            np.asarray(out["motion_norm"])
+        return float(np.asarray(out["Consistency_Score"]).ravel()[0]) + float(
+            np.asarray(out["motion_norm"]).ravel()[0]
         )
 
     # warm up / compile every program
@@ -368,7 +403,9 @@ def bench_overlap():
     frames_dev = to_score_frames(video)
     reward_sum(scorer(vp.params, frames_dev))
     _ = np.asarray(to_u8(video))
-    float(np.asarray(jnp.sum(resize_up(jnp.zeros((1, 10, 3, 480, 480))))))
+    pix_side = min(video.shape[-2:])
+    float(np.asarray(jnp.sum(resize_up(
+        jnp.zeros((1, n_score_frames, 3, pix_side, pix_side))))))
 
     # --- sequential (reference file-round-trip semantics) ---
     decomp = {}
@@ -422,7 +459,15 @@ def bench_overlap():
 
 
 def main():
-    _enable_compile_cache()
+    if os.environ.get("VIDEOGPA_BENCH_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import videogpa_tpu.ops.attention as _att
+
+        _att.INTERPRET = True
+    else:
+        _enable_compile_cache()
     steps_per_sec, dt = bench_denoise()
     result = {
         "metric": "denoise_steps_per_sec_per_chip",
@@ -432,6 +477,8 @@ def main():
         "vs_h100_estimate": round(steps_per_sec / H100_ESTIMATE_STEPS_PER_SEC, 3),
         "step_ms": round(dt * 1000, 1),
     }
+    if _TINY:
+        result["tiny"] = True  # smoke-mode shapes; throughput is meaningless
     # the int8 extra costs a second full compile (~3 min on the remote
     # compiler); never let it lose the headline number
     if os.environ.get("VIDEOGPA_BENCH_INT8", "1") == "1":

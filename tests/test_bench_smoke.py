@@ -1,0 +1,59 @@
+"""Smoke test for bench.py — the driver runs it unattended on the real chip
+at round end, so its glue must never break silently.
+
+Runs the whole bench in a subprocess with VIDEOGPA_BENCH_TINY=1 (every model
+swapped for its tiny() preset, shapes derived from the config — same code
+paths) and VIDEOGPA_BENCH_CPU=1 (CPU backend, interpreted Pallas kernels),
+with all sub-benches enabled. The int8/W8A8 extras are switched off here:
+their numerics are covered by tests/test_quant.py and they double the
+runtime without touching unique glue.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_tiny_cpu_end_to_end():
+    env = dict(os.environ)
+    env.update(
+        VIDEOGPA_BENCH_TINY="1",
+        VIDEOGPA_BENCH_CPU="1",
+        VIDEOGPA_BENCH_INT8="0",
+        VIDEOGPA_BENCH_W8A8="0",
+        VIDEOGPA_BENCH_WAN="1",
+        VIDEOGPA_BENCH_REWARD="1",
+        VIDEOGPA_BENCH_TRAIN="1",
+        VIDEOGPA_BENCH_OVERLAP="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+
+    assert result["metric"] == "denoise_steps_per_sec_per_chip"
+    assert result["tiny"] is True
+    assert result["value"] > 0
+    # every enabled sub-bench must have produced its number, not an _error
+    for key in (
+        "wan_steps_per_sec",
+        "reward_clips_per_min",
+        "reward_clips_per_min_batched",
+        "dpo_steps_per_sec_tiny",
+        "genscore_clips_per_min_sequential",
+        "genscore_clips_per_min_overlapped",
+    ):
+        assert key in result, (key, result)
+        assert result[key] > 0, (key, result)
+    errors = {k: v for k, v in result.items() if k.endswith("_error")}
+    assert not errors, errors
