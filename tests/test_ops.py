@@ -103,6 +103,21 @@ class TestFlashAttention:
         assert cos > 0.999, cos
         assert rel < 0.02, rel
 
+    def test_int8_qk_head_dim_128(self):
+        """Lane-full int8-QK path (classic layout, the Wan geometry),
+        including a ragged (padded) sequence length."""
+        key = jax.random.PRNGKey(9)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 300, 128))
+        k = jax.random.normal(kk, (1, 2, 300, 128)) + 0.5  # tests centering
+        v = jax.random.normal(kv, (1, 2, 300, 128))
+        got = np.asarray(attention(q, k, v, impl="flash_int8", block_q=128, block_k=128))
+        want = np.asarray(mha_reference(q, k, v))
+        cos = np.sum(got * want) / np.sqrt(np.sum(got * got) * np.sum(want * want))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert cos > 0.999, cos
+        assert rel < 0.02, rel
+
     def test_gradients_match_reference(self):
         key = jax.random.PRNGKey(2)
         kq, kk, kv = jax.random.split(key, 3)

@@ -488,6 +488,103 @@ def _flash_int8(q, k, v, n_valid, block_q, block_k):
     return jax.lax.cond(jnp.max(jumps) <= _LAG_CLAMP, lambda o: o, exact, out)
 
 
+def _fwd_kernel_i8(q_ref, sq_ref, k_ref, sk_ref, v_ref, o_ref, acc, m_s, l_s,
+                   *, n_valid, block_k, head_dim):
+    """int8-QK online-softmax forward in the classic (lane-full) layout.
+
+    Same structure as ``_fwd_kernel`` (the D%128==0 path: no ones-column
+    augmentation, explicit VPU row-sum denominator, classic max->exp update
+    — at a 128-deep contraction the QK/PV matmuls hide the dependency, see
+    ARCHITECTURE.md), but QK^T runs on the 2x int8 MXU with s32 accumulation
+    and one (row ⊗ col) f32 rescale. No lag clamp / fallback needed: the
+    classic update is unconditionally stable."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, _NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    s_i = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (BQ, BK), int32
+    s = s_i.astype(jnp.float32) * sq_ref[0][:, :1] * sk_ref[0][:1, :]
+
+    if n_valid % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + j * block_k
+        s = s + jnp.where(col < n_valid, 0.0, _NEG_INF)
+
+    m_prev = m_s[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+
+    acc[:] = acc[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        l = jnp.maximum(l_s[:, :1], 1e-30)
+        o_ref[0] = (acc[:] / l).astype(o_ref.dtype)
+
+
+def _flash_int8_128(q, k, v, n_valid, block_q, block_k):
+    """int8-QK forward for lane-full head dims (D % 128 == 0, the Wan
+    geometry). Quantization transform identical to ``_flash_int8``: K is
+    mean-centered over valid tokens (exact — softmax is shift-invariant),
+    then per-row symmetric int8 scales for q (with scale*log2e prefolded)
+    and k. Inference-only; the custom_vjp backward stays exact bf16."""
+    BH, N, D = q.shape
+    Nk = k.shape[1]
+    scale = D ** -0.5
+
+    kf = k.astype(jnp.float32)
+    k_mean = jnp.sum(kf, axis=1, keepdims=True) / n_valid
+    kc = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, kf.shape, 1) < n_valid, kf - k_mean, 0.0
+    )
+    sk = jnp.max(jnp.abs(kc), axis=-1, keepdims=True) / 127.0 + 1e-12  # (BH, Nk, 1)
+    k8 = jnp.round(kc / sk).astype(jnp.int8)
+    qf = q.astype(jnp.float32) * (scale * _LOG2E)
+    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-12  # (BH, N, 1)
+    q8 = jnp.round(qf / sq).astype(jnp.int8)
+
+    sq_b = jnp.broadcast_to(sq, (BH, N, _LSE_LANES))
+    sk_t = jnp.broadcast_to(jnp.swapaxes(sk, 1, 2), (BH, _LSE_LANES, Nk))
+
+    grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
+    kernel = functools.partial(
+        _fwd_kernel_i8, n_valid=n_valid, block_k=block_k, head_dim=D
+    )
+    return pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, _LSE_LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, _LSE_LANES, block_k), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q8, sq_b, k8, sk_t, v)
+
+
 # ---------------------------------------------------------------------------
 # Pallas backward
 # ---------------------------------------------------------------------------
@@ -835,7 +932,10 @@ def attention(
     Args:
         q, k, v: (B, num_heads, N, head_dim). Self- or cross-attention
             (k/v may have a different sequence length than q).
-        impl: "auto" (flash on TPU, XLA elsewhere), "flash", or "xla".
+        impl: "auto" (flash on TPU, XLA elsewhere), "flash", "xla",
+            "flash_int8" (inference-only int8-QK kernels — transposed
+            lagged-max for head_dim < 128, classic layout for lane-full
+            head dims), or "ring" (sequence-parallel over the mesh).
 
     Returns:
         (B, num_heads, Nq, head_dim), dtype of q.
@@ -897,6 +997,9 @@ def attention(
         if impl == "flash_int8" and D < 128:
             # inference-only quantized path (no vjp); see _flash_int8
             out = _flash_int8(qp, kp, vp, Nk, bq, bk)
+        elif impl == "flash_int8":
+            # lane-full head dims: classic-layout int8-QK kernel
+            out = _flash_int8_128(qp, kp, vp, Nk, bq, bk)
         else:
             out = _flash(qp, kp, vp, Nk, bq, bk)
         return out.reshape(Bl, Hl, Nq_p, D)[:, :, :Nq]
