@@ -518,13 +518,19 @@ def main():
             except Exception as e:  # pragma: no cover
                 result["wan_w8a8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
-        single, batched, scores = bench_reward()
-        result["reward_clips_per_min"] = round(single, 2)
-        result["reward_clips_per_min_batched"] = round(batched, 2)
-        result["reward_vs_baseline"] = round(
-            batched / REWARD_BASELINE_CLIPS_PER_MIN, 3
-        )
         try:
+            single, batched, scores = bench_reward()
+            result["reward_clips_per_min"] = round(single, 2)
+            result["reward_clips_per_min_batched"] = round(batched, 2)
+            result["reward_vs_baseline"] = round(
+                batched / REWARD_BASELINE_CLIPS_PER_MIN, 3
+            )
+        except Exception as e:  # pragma: no cover
+            result["reward_error"] = str(e)[:200]
+            scores = None
+        try:
+            if scores is None:
+                raise RuntimeError("exact reward bench failed")
             # int8-QK scoring mode + score drift vs exact on the same frames
             s8, b8, scores8 = bench_reward(attn_impl="flash_int8")
             result["reward_int8_clips_per_min_batched"] = round(b8, 2)
