@@ -124,3 +124,50 @@ class TestQuantizedDiT:
         d = np.abs(np.asarray(qa["blocks"]["attn1"]["to_q"]["w_int8"], np.int32)
                    - np.asarray(qb["blocks"]["attn1"]["to_q"]["w_int8"], np.int32))
         assert d.max() > 0
+
+
+class TestTrajectoryDrift:
+    def test_full_sampling_loop_int8_drift(self):
+        """Trajectory-level accuracy of the production int8 mode: a full
+        10-step CFG DDIM loop (denoise_loop) with W8A8 GEMMs + flash_int8
+        attention must track the exact f32 trajectory — per-call cosines
+        alone don't rule out compounding drift across steps."""
+        import videogpa_tpu.ops.attention as A
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_init
+        from videogpa_tpu.models.cogvideox.pipeline import (
+            SamplerSettings,
+            denoise_loop,
+        )
+
+        old = A.INTERPRET
+        A.INTERPRET = True
+        try:
+            cfg = CogVideoXConfig.tiny()
+            params = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+            emb = jax.random.normal(
+                jax.random.PRNGKey(1),
+                (1, cfg.max_text_seq_length, cfg.text_embed_dim),
+                jnp.float32,
+            )
+            neg = jnp.zeros_like(emb)
+            shape = (1, cfg.sample_frames, cfg.in_channels,
+                     cfg.sample_height, cfg.sample_width)
+            st = SamplerSettings(
+                num_inference_steps=10, guidance_scale=6.0, sampler="ddim"
+            )
+            lat = denoise_loop(
+                params, emb, neg, jax.random.PRNGKey(2), cfg, st, shape,
+                compute_dtype=jnp.float32,
+            )
+            lat_q = denoise_loop(
+                quantize_dit_int8(params), emb, neg, jax.random.PRNGKey(2),
+                cfg, st, shape, attn_impl="flash_int8",
+                compute_dtype=jnp.float32,
+            )
+            cos = _cos(lat, lat_q)
+            rel = float(jnp.linalg.norm(lat - lat_q) / jnp.linalg.norm(lat))
+            # measured 0.9999977 / 0.21% on random tiny weights (pessimistic)
+            assert cos > 0.9999, cos
+            assert rel < 0.02, rel
+        finally:
+            A.INTERPRET = old
