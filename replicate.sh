@@ -51,6 +51,7 @@ if [ "$SKIP_SCORE" = false ]; then
     SCORE_BACKBONE="da3" SCORE_BASE_DIR="$OUTPUT_DIR" \
     SCORE_OUTPUT_CSV="$OUTPUT_DIR/scores.csv" \
     SCORE_NUM_FRAMES="$NUM_FRAMES" \
+    SCORE_INT8="${SCORE_INT8:-0}" \
     python "${SCRIPT_DIR}/replicate_scorer.py"
 fi
 

@@ -46,6 +46,10 @@ def build_score_config():
         # clips per device program (TPU upgrade over the reference's
         # one-process-per-GPU pools; 1 = reference-identical per-video loop)
         "score_batch": int(os.getenv("SCORE_BATCH", "1")),
+        # production int8 scoring: W8A8 trunk GEMMs + int8-QK attention.
+        # Scoring only RANKS candidates (the most quantization-tolerant
+        # consumer); measured trunk cosine >0.999 vs exact per family.
+        "int8": parse_bool_env("SCORE_INT8", False),
     }
 
 
@@ -106,9 +110,20 @@ def main():
 
         params, model_cfg = load_vggt(cfg["model_name"])
 
+    attn_impl = "auto"
+    if cfg["int8"]:
+        import jax
+
+        if cfg["backbone"] == "da3":
+            from videogpa_tpu.ops.quant import quantize_da3_int8 as _q
+        else:
+            from videogpa_tpu.ops.quant import quantize_vggt_int8 as _q
+        params = jax.jit(_q)(params)
+        attn_impl = "flash_int8"
+
     metrics = build_metrics(descriptor_type=cfg["descriptor_type"])
     vp = VideoProcessor(metrics, params=params, config=model_cfg,
-                        backbone=cfg["backbone"])
+                        backbone=cfg["backbone"], attn_impl=attn_impl)
 
     tasks = collect_tasks(cfg)
     print(f"{len(tasks)} videos to score (backbone={cfg['backbone']})")

@@ -208,12 +208,17 @@ def _make_tiny_generator(cfg, t5_cfg, tokenizer):
 
 
 class TestReplicateScorerE2E:
-    @pytest.mark.parametrize("score_batch", ["1", "2"])
-    def test_full_scoring_run(self, tmp_path, monkeypatch, score_batch):
+    @pytest.mark.parametrize(
+        "score_batch,score_int8", [("1", "0"), ("2", "0"), ("1", "1")]
+    )
+    def test_full_scoring_run(self, tmp_path, monkeypatch, score_batch,
+                              score_int8):
         """replicate.sh step 2 mirror on tiny configs: scan -> score -> CSV.
 
         score_batch=2 exercises the K-clips-per-device-program upgrade
-        (SCORE_BATCH env; 1 = reference-identical per-video loop)."""
+        (SCORE_BATCH env; 1 = reference-identical per-video loop);
+        score_int8=1 exercises the production int8 scoring mode (W8A8 trunk
+        + flash_int8 attention, interpreted Pallas on CPU)."""
         import csv
         import importlib
 
@@ -244,6 +249,11 @@ class TestReplicateScorerE2E:
         monkeypatch.setenv("SCORE_NUM_FRAMES", "4")
         monkeypatch.setenv("SCORE_BACKBONE", "vggt")
         monkeypatch.setenv("SCORE_BATCH", score_batch)
+        monkeypatch.setenv("SCORE_INT8", score_int8)
+        if score_int8 == "1":
+            import videogpa_tpu.ops.attention as A
+
+            monkeypatch.setattr(A, "INTERPRET", True)
 
         import replicate_scorer
 

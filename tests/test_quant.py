@@ -171,3 +171,20 @@ class TestTrajectoryDrift:
             assert rel < 0.02, rel
         finally:
             A.INTERPRET = old
+
+
+class TestDA3Quant:
+    def test_da3_backbone_cosine(self):
+        from videogpa_tpu.models.da3 import DA3Config
+        from videogpa_tpu.models.da3.model import da3_forward, da3_init
+        from videogpa_tpu.ops.quant import quantize_da3_int8
+
+        cfg = DA3Config.tiny()
+        params = da3_init(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_da3_int8(params)
+        imgs = jax.random.uniform(
+            jax.random.PRNGKey(1), (1, 2, 3, cfg.img_size, cfg.img_size)
+        )
+        o1 = da3_forward(params, imgs, cfg, attn_impl="xla")
+        o2 = da3_forward(qparams, imgs, cfg, attn_impl="xla")
+        assert _cos(o1["depth"], o2["depth"]) > 0.99

@@ -143,3 +143,20 @@ def quantize_wan_int8(params: dict) -> dict:
             if isinstance(leaf, dict) and "kernel" in leaf:
                 blocks["ffn"][name] = quantize_linear(leaf)
     return params
+
+
+def quantize_da3_int8(params: dict) -> dict:
+    """DA3: quantize the AA-ViT backbone trunk GEMMs (qkv/proj/mlp of the
+    uniform pre blocks and the alternating local/global blocks). Patch
+    embed, camera enc/dec and the DualDPT heads stay f32 — same policy as
+    ``quantize_vggt_int8`` (heads run f32 by reference autocast parity,
+    depth_anything_3/model/da3.py:139-147). Scoring only ranks candidate
+    videos, the most quantization-tolerant consumer in the system."""
+    import copy
+
+    params = copy.copy(params)
+    bb = copy.copy(params["backbone"])
+    bb["blocks_pre"] = _quantize_vit_blocks(bb["blocks_pre"])
+    bb["blocks_alt"] = [_quantize_vit_blocks(b) for b in bb["blocks_alt"]]
+    params["backbone"] = bb
+    return params
