@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--num_frames", type=int, default=NUM_FRAMES)
     parser.add_argument("--batch_size", type=int, default=1,
                         help="clips per device program (TPU batched scoring)")
+    parser.add_argument("--int8", action="store_true",
+                        help="production int8 scoring (W8A8 trunk GEMMs + "
+                             "int8-QK attention; scoring only ranks "
+                             "candidates, the most quantization-tolerant "
+                             "consumer)")
     args = parser.parse_args()
 
     from videogpa_tpu.cli.score import score_groups
@@ -45,9 +50,21 @@ def main():
 
         params, cfg = load_vggt(args.model_name or "facebook/VGGT-1B")
 
+    attn_impl = "auto"
+    if args.int8:
+        import jax
+
+        if args.backbone == "da3":
+            from videogpa_tpu.ops.quant import quantize_da3_int8 as _q
+        else:
+            from videogpa_tpu.ops.quant import quantize_vggt_int8 as _q
+        params = jax.jit(_q)(params)
+        attn_impl = "flash_int8"
+
     vp = VideoProcessor(
         {"Consistency_Score": ConsistencyScore()},
         params=params, config=cfg, backbone=args.backbone,
+        attn_impl=attn_impl,
     )
 
     data = safe_load_json(args.input_json)
