@@ -52,6 +52,10 @@ WAN_BASELINE_STEPS_PER_SEC = 0.17  # 580.8 TFLOP/step (CFG pair, 81f@704x1280)
 REWARD_BASELINE_CLIPS_PER_MIN = 40.0  # ~1.5 s/clip reference pipeline on A100
 
 
+class _SkipExtra(Exception):
+    """Raised inside an extras block to skip it without recording an error."""
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache: the remote (axon) compiler takes minutes
     per program; cached recompiles are near-instant across processes."""
@@ -529,6 +533,8 @@ def main():
             result["reward_error"] = str(e)[:200]
             scores = None
         try:
+            if os.environ.get("VIDEOGPA_BENCH_INT8", "1") != "1":
+                raise _SkipExtra  # same off switch as the other int8 extras
             if scores is None:
                 raise RuntimeError("exact reward bench failed")
             # int8-QK scoring mode + score drift vs exact on the same frames
@@ -541,6 +547,8 @@ def main():
             result["reward_int8_consistency_drift"] = round(
                 abs(cs8 - cs) / max(abs(cs), 1e-9), 5
             )
+        except _SkipExtra:
+            pass
         except Exception as e:  # pragma: no cover
             result["reward_int8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_TRAIN") == "1":

@@ -112,14 +112,9 @@ def main():
 
     attn_impl = "auto"
     if cfg["int8"]:
-        import jax
+        from videogpa_tpu.ops.quant import quantize_scorer_params
 
-        if cfg["backbone"] == "da3":
-            from videogpa_tpu.ops.quant import quantize_da3_int8 as _q
-        else:
-            from videogpa_tpu.ops.quant import quantize_vggt_int8 as _q
-        params = jax.jit(_q)(params)
-        attn_impl = "flash_int8"
+        params, attn_impl = quantize_scorer_params(cfg["backbone"], params)
 
     metrics = build_metrics(descriptor_type=cfg["descriptor_type"])
     vp = VideoProcessor(metrics, params=params, config=model_cfg,

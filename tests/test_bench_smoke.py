@@ -24,6 +24,7 @@ def test_bench_tiny_cpu_end_to_end():
         VIDEOGPA_BENCH_CPU="1",
         VIDEOGPA_BENCH_INT8="0",
         VIDEOGPA_BENCH_W8A8="0",
+        VIDEOGPA_OVERLAP_EXACT="1",
         VIDEOGPA_BENCH_WAN="1",
         VIDEOGPA_BENCH_REWARD="1",
         VIDEOGPA_BENCH_TRAIN="1",

@@ -52,14 +52,9 @@ def main():
 
     attn_impl = "auto"
     if args.int8:
-        import jax
+        from videogpa_tpu.ops.quant import quantize_scorer_params
 
-        if args.backbone == "da3":
-            from videogpa_tpu.ops.quant import quantize_da3_int8 as _q
-        else:
-            from videogpa_tpu.ops.quant import quantize_vggt_int8 as _q
-        params = jax.jit(_q)(params)
-        attn_impl = "flash_int8"
+        params, attn_impl = quantize_scorer_params(args.backbone, params)
 
     vp = VideoProcessor(
         {"Consistency_Score": ConsistencyScore()},

@@ -418,15 +418,15 @@ def _fwd_kernel_T8(qt_ref, sq_ref, k_ref, sk_ref, vt_ref, o_ref, jump_ref,
         jump_ref[0] = jnp.broadcast_to(m_s[1:2], jump_ref.shape[1:])
 
 
-def _flash_int8(q, k, v, n_valid, block_q, block_k):
-    """int8-QK forward on padded (BH, N, D) operands; exact-bf16 fallback
-    when the lag clamp could have bound."""
-    BH, N, D = q.shape
-    Nk = k.shape[1]
+def _quantize_qk_int8(q, k, n_valid):
+    """SageAttention-style QK quantization shared by both int8 kernels:
+    K mean-centered over valid tokens (exact — softmax is shift-invariant;
+    padding rows are zero), q prescaled by scale*log2e, then per-row
+    symmetric int8 scales for both. Returns (q8, sq, k8, sk)."""
+    D = q.shape[-1]
     scale = D ** -0.5
 
     kf = k.astype(jnp.float32)
-    # mean over valid tokens only (padding rows are zero)
     k_mean = jnp.sum(kf, axis=1, keepdims=True) / n_valid
     kc = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, kf.shape, 1) < n_valid, kf - k_mean, 0.0
@@ -436,6 +436,16 @@ def _flash_int8(q, k, v, n_valid, block_q, block_k):
     qf = q.astype(jnp.float32) * (scale * _LOG2E)
     sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-12  # (BH, N, 1)
     q8 = jnp.round(qf / sq).astype(jnp.int8)
+    return q8, sq, k8, sk
+
+
+def _flash_int8(q, k, v, n_valid, block_q, block_k):
+    """int8-QK forward on padded (BH, N, D) operands; exact-bf16 fallback
+    when the lag clamp could have bound."""
+    BH, N, D = q.shape
+    Nk = k.shape[1]
+
+    q8, sq, k8, sk = _quantize_qk_int8(q, k, n_valid)
 
     qt8 = jnp.swapaxes(q8, 1, 2)  # (BH, D, N)
     sq_t = jnp.broadcast_to(jnp.swapaxes(sq, 1, 2), (BH, 8, N))
@@ -489,7 +499,7 @@ def _flash_int8(q, k, v, n_valid, block_q, block_k):
 
 
 def _fwd_kernel_i8(q_ref, sq_ref, k_ref, sk_ref, v_ref, o_ref, acc, m_s, l_s,
-                   *, n_valid, block_k, head_dim):
+                   *, n_valid, block_k):
     """int8-QK online-softmax forward in the classic (lane-full) layout.
 
     Same structure as ``_fwd_kernel`` (the D%128==0 path: no ones-column
@@ -536,31 +546,20 @@ def _fwd_kernel_i8(q_ref, sq_ref, k_ref, sk_ref, v_ref, o_ref, acc, m_s, l_s,
 
 def _flash_int8_128(q, k, v, n_valid, block_q, block_k):
     """int8-QK forward for lane-full head dims (D % 128 == 0, the Wan
-    geometry). Quantization transform identical to ``_flash_int8``: K is
-    mean-centered over valid tokens (exact — softmax is shift-invariant),
-    then per-row symmetric int8 scales for q (with scale*log2e prefolded)
-    and k. Inference-only; the custom_vjp backward stays exact bf16."""
+    geometry). Quantization transform shared with ``_flash_int8`` via
+    ``_quantize_qk_int8``. Inference-only; the custom_vjp backward stays
+    exact bf16."""
     BH, N, D = q.shape
     Nk = k.shape[1]
-    scale = D ** -0.5
 
-    kf = k.astype(jnp.float32)
-    k_mean = jnp.sum(kf, axis=1, keepdims=True) / n_valid
-    kc = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, kf.shape, 1) < n_valid, kf - k_mean, 0.0
-    )
-    sk = jnp.max(jnp.abs(kc), axis=-1, keepdims=True) / 127.0 + 1e-12  # (BH, Nk, 1)
-    k8 = jnp.round(kc / sk).astype(jnp.int8)
-    qf = q.astype(jnp.float32) * (scale * _LOG2E)
-    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-12  # (BH, N, 1)
-    q8 = jnp.round(qf / sq).astype(jnp.int8)
+    q8, sq, k8, sk = _quantize_qk_int8(q, k, n_valid)
 
     sq_b = jnp.broadcast_to(sq, (BH, N, _LSE_LANES))
     sk_t = jnp.broadcast_to(jnp.swapaxes(sk, 1, 2), (BH, _LSE_LANES, Nk))
 
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
     kernel = functools.partial(
-        _fwd_kernel_i8, n_valid=n_valid, block_k=block_k, head_dim=D
+        _fwd_kernel_i8, n_valid=n_valid, block_k=block_k
     )
     return pl.pallas_call(
         kernel, grid=grid,
@@ -997,10 +996,11 @@ def attention(
         if impl == "flash_int8" and D < 128:
             # inference-only quantized path (no vjp); see _flash_int8
             out = _flash_int8(qp, kp, vp, Nk, bq, bk)
-        elif impl == "flash_int8":
+        elif impl == "flash_int8" and D % 128 == 0:
             # lane-full head dims: classic-layout int8-QK kernel
             out = _flash_int8_128(qp, kp, vp, Nk, bq, bk)
         else:
+            # incl. flash_int8 at D >= 128 not lane-full: exact kernel
             out = _flash(qp, kp, vp, Nk, bq, bk)
         return out.reshape(Bl, Hl, Nq_p, D)[:, :, :Nq]
 

@@ -160,3 +160,12 @@ def quantize_da3_int8(params: dict) -> dict:
     bb["blocks_alt"] = [_quantize_vit_blocks(b) for b in bb["blocks_alt"]]
     params["backbone"] = bb
     return params
+
+
+def quantize_scorer_params(backbone: str, params: dict):
+    """Shared CLI helper: quantize a scoring backbone for the production
+    int8 mode. Returns (quantized_params, attn_impl) for VideoProcessor."""
+    import jax
+
+    q = quantize_da3_int8 if backbone.lower() == "da3" else quantize_vggt_int8
+    return jax.jit(q)(params), "flash_int8"
