@@ -73,9 +73,9 @@ def bench_denoise(attn_impl="auto", w8a8=False):
     cfg = CogVideoXConfig.tiny() if _TINY else CogVideoXConfig.cogvideox_5b()
     params = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if w8a8:
-        from videogpa_tpu.ops.quant import quantize_dit_int8
+        from videogpa_tpu.ops.quant import quantize_dit_int8, quantize_on_device
 
-        params = jax.jit(quantize_dit_int8)(params)
+        params = quantize_on_device(quantize_dit_int8, params)
     jax.block_until_ready(params)
 
     B, F = 2, cfg.sample_frames  # CFG pair; 13 latent = 49 pixel frames
@@ -134,9 +134,12 @@ def bench_reward(attn_impl="auto", params=None):
         params = vggt_init(jax.random.PRNGKey(0), cfg)
         if attn_impl == "flash_int8":
             # full int8 scoring mode: int8-QK attention + W8A8 trunk GEMMs
-            from videogpa_tpu.ops.quant import quantize_vggt_int8
+            from videogpa_tpu.ops.quant import (
+                quantize_on_device,
+                quantize_vggt_int8,
+            )
 
-            params = jax.jit(quantize_vggt_int8)(params)
+            params = quantize_on_device(quantize_vggt_int8, params)
     metrics = {
         "MSE": MSEMetric(),
         "Consistency_Score": ConsistencyScore(None),
@@ -184,9 +187,9 @@ def bench_wan(attn_impl="auto", w8a8=False):
     cfg = WanConfig.tiny() if _TINY else WanConfig.ti2v_5b()
     params = wan_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if w8a8:
-        from videogpa_tpu.ops.quant import quantize_wan_int8
+        from videogpa_tpu.ops.quant import quantize_on_device, quantize_wan_int8
 
-        params = jax.jit(quantize_wan_int8)(params)
+        params = quantize_on_device(quantize_wan_int8, params)
     jax.block_until_ready(params)
     B = 2  # CFG pair
     F, Hh, Ww = (3, 8, 8) if _TINY else (21, 44, 80)  # 81f@704x1280 latents
@@ -313,9 +316,9 @@ def bench_overlap():
     overlap_exact = os.environ.get("VIDEOGPA_OVERLAP_EXACT") == "1"
     denoise_attn = "auto"
     if not overlap_exact:
-        from videogpa_tpu.ops.quant import quantize_dit_int8
+        from videogpa_tpu.ops.quant import quantize_dit_int8, quantize_on_device
 
-        dit = jax.jit(quantize_dit_int8)(dit)
+        dit = quantize_on_device(quantize_dit_int8, dit)
         denoise_attn = "flash_int8"
     vae = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16), vae_init(jax.random.PRNGKey(1), cfg)

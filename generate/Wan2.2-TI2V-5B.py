@@ -84,9 +84,9 @@ def main():
         print(f"LoRA merged (relative weight {args.lora_weight})")
 
     if args.w8a8:
-        from videogpa_tpu.ops.quant import quantize_wan_int8
+        from videogpa_tpu.ops.quant import quantize_on_device, quantize_wan_int8
 
-        dit = jax.jit(quantize_wan_int8)(dit)
+        dit = quantize_on_device(quantize_wan_int8, dit)
         print("Wan DiT attention/FFN weights quantized to int8 (W8A8)")
 
     def encode(text):

@@ -107,11 +107,12 @@ class CogVideoXGenerator:
             print(f"LoRA path not found: {args.lora_path}, using base model")
         if getattr(args, "w8a8", False):
             # after any LoRA merge, so the adapter quantizes with the base
-            import jax
+            from videogpa_tpu.ops.quant import (
+                quantize_dit_int8,
+                quantize_on_device,
+            )
 
-            from videogpa_tpu.ops.quant import quantize_dit_int8
-
-            self.dit = jax.jit(quantize_dit_int8)(self.dit)
+            self.dit = quantize_on_device(quantize_dit_int8, self.dit)
             print("DiT projection/FFN weights quantized to int8 (W8A8)")
 
     def encode_prompt(self, prompt: str):

@@ -164,8 +164,25 @@ def quantize_da3_int8(params: dict) -> dict:
 
 def quantize_scorer_params(backbone: str, params: dict):
     """Shared CLI helper: quantize a scoring backbone for the production
-    int8 mode. Returns (quantized_params, attn_impl) for VideoProcessor."""
+    int8 mode. Returns (quantized_params, attn_impl) for VideoProcessor.
+
+    No donation here: scorer trunks are small (VGGT-1B / DA3-Large are a
+    few GB — no OOM risk) and callers may keep or re-quantize the input
+    tree (e.g. resume re-runs); donation is for the 5B DiT paths."""
     import jax
 
     q = quantize_da3_int8 if backbone.lower() == "da3" else quantize_vggt_int8
     return jax.jit(q)(params), "flash_int8"
+
+
+def quantize_on_device(fn, params):
+    """Run a quantize_*_int8 transform under jit with the INPUT DONATED.
+
+    At 5B scale the bf16 param tree is ~10.4 GiB and its int8 image ~6.0
+    GiB; without donation both are resident during the transform (~16.3
+    GiB), which overflows a 16 GB v5e. Donation lets XLA free each bf16
+    leaf as its int8 leaf is produced. (On CPU donation is a no-op warning.)
+    """
+    import jax
+
+    return jax.jit(fn, donate_argnums=0)(params)
