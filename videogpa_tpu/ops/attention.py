@@ -548,7 +548,17 @@ def _flash_int8_128(q, k, v, n_valid, block_q, block_k):
     """int8-QK forward for lane-full head dims (D % 128 == 0, the Wan
     geometry). Quantization transform shared with ``_flash_int8`` via
     ``_quantize_qk_int8``. Inference-only; the custom_vjp backward stays
-    exact bf16."""
+    exact bf16.
+
+    NOT dispatched by ``attention()``: measured on the chip (v5e, Wan
+    flagship shape 48x18480x128, chained-in-jit timing) this kernel runs
+    116.6 TF/s vs the exact kernel's 118.5 at bq=bk=1024 (and loses at
+    512/1024 too) — at a lane-full 128-deep contraction the dequant work
+    (int32->f32 convert + row x col scale multiply over every (BQ, BK)
+    score tile) costs the VPU more than the 2x int8 MXU saves, unlike the
+    D<128 transposed path where QK^T is the pipeline bottleneck. Kept (with
+    its unit test) as the measured record of why; also note bq=2048
+    overflows the 16 MB scoped VMEM limit (the f32 score tile doubles)."""
     BH, N, D = q.shape
     Nk = k.shape[1]
 
@@ -932,9 +942,10 @@ def attention(
         q, k, v: (B, num_heads, N, head_dim). Self- or cross-attention
             (k/v may have a different sequence length than q).
         impl: "auto" (flash on TPU, XLA elsewhere), "flash", "xla",
-            "flash_int8" (inference-only int8-QK kernels — transposed
-            lagged-max for head_dim < 128, classic layout for lane-full
-            head dims), or "ring" (sequence-parallel over the mesh).
+            "flash_int8" (inference-only int8-QK transposed lagged-max
+            kernel at head_dim < 128; at D >= 128 it routes to the exact
+            kernel, which measured faster than the int8 variant on-chip),
+            or "ring" (sequence-parallel over the mesh).
 
     Returns:
         (B, num_heads, Nq, head_dim), dtype of q.
@@ -996,11 +1007,14 @@ def attention(
         if impl == "flash_int8" and D < 128:
             # inference-only quantized path (no vjp); see _flash_int8
             out = _flash_int8(qp, kp, vp, Nk, bq, bk)
-        elif impl == "flash_int8" and D % 128 == 0:
-            # lane-full head dims: classic-layout int8-QK kernel
-            out = _flash_int8_128(qp, kp, vp, Nk, bq, bk)
         else:
-            # incl. flash_int8 at D >= 128 not lane-full: exact kernel
+            # flash_int8 at D >= 128 routes to the EXACT kernel: measured
+            # on-chip (v5e, Wan flagship 48x18480x128, latency-amortized
+            # chained timing) the classic-layout int8-QK kernel runs 116.6
+            # TF/s vs 118.5 exact — the int32->f32 convert + (row x col)
+            # dequant VPU work cancels the 2x int8 MXU gain once the
+            # 128-deep contraction already runs lane-full, so exact is both
+            # faster and exact (tools/onchip_r3.py; ARCHITECTURE.md).
             out = _flash(qp, kp, vp, Nk, bq, bk)
         return out.reshape(Bl, Hl, Nq_p, D)[:, :, :Nq]
 
