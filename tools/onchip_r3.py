@@ -25,7 +25,6 @@ Measured 2026-08-18 (v5e-1, chained timing, min of 3):
 (bq=2048 for the int8-128 kernel overflows the 16 MB scoped VMEM limit.)
 """
 
-import functools
 import json
 import sys
 import time

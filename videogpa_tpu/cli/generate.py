@@ -113,7 +113,14 @@ class CogVideoXGenerator:
             )
 
             self.dit = quantize_on_device(quantize_dit_int8, self.dit)
-            print("DiT projection/FFN weights quantized to int8 (W8A8)")
+            # --w8a8 alone is the documented full production int8 mode
+            # (W8A8 GEMMs + int8-QK attention — what bench.py measures);
+            # the int8 kernel only dispatches at head_dim < 128, so this
+            # stays exact for the Wan geometry. --attn_impl overrides.
+            if self.attn_impl == "auto":
+                self.attn_impl = "flash_int8"
+            print("DiT projection/FFN weights quantized to int8 (W8A8); "
+                  f"attention impl: {self.attn_impl}")
 
     def encode_prompt(self, prompt: str):
         import jax.numpy as jnp

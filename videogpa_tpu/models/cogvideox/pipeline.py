@@ -208,8 +208,12 @@ def decode_latents(vae_params, latents: jax.Array, cfg: CogVideoXConfig) -> jax.
         try:
             out = vae_decode_tiled(vae_params, z, cfg, tile_latent=tile)
             # the tiled decode is one async-dispatched program now: sync
-            # here so a device OOM surfaces inside this try and can retry
+            # here so a device OOM surfaces inside this try and can retry.
+            # block_until_ready does not reliably block on the axon backend
+            # (CLAUDE.md), so pull one element — completing any output
+            # element requires the whole program to have executed.
             jax.block_until_ready(out)
+            float(np.asarray(out.ravel()[0]))
             return jnp.clip(out, -1.0, 1.0)
         except Exception as e:  # jaxlib runtime errors don't share a base
             oom = "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower()

@@ -273,9 +273,6 @@ route();
 class GalleryHandler(SimpleHTTPRequestHandler):
     """Static files + manifest endpoints; directory listing disabled."""
 
-    def __init__(self, *args, directory=None, **kwargs):
-        super().__init__(*args, directory=directory, **kwargs)
-
     def _send_payload(self, body: bytes, content_type: str):
         self.send_response(HTTPStatus.OK)
         self.send_header("Content-Type", content_type)

@@ -60,19 +60,6 @@ def linear_w8a8(p: Params, x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def quantize_tree_linears(params, paths) -> None:
-    """In-place quantize the linear dicts at the given key paths.
-
-    ``paths``: iterable of key tuples into ``params`` whose leaves are
-    {"kernel", "bias"?} dicts (stacked or not).
-    """
-    for path in paths:
-        node = params
-        for k in path[:-1]:
-            node = node[k]
-        node[path[-1]] = quantize_linear(node[path[-1]])
-
-
 def quantize_dit_int8(params: dict) -> dict:
     """CogVideoX DiT: quantize the per-block projection/FFN linears.
 
