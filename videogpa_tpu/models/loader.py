@@ -17,6 +17,14 @@ import numpy as np
 def resolve_model_dir(name_or_path: str, subfolder: Optional[str] = None) -> str:
     """Resolve a model directory: direct path, $VIDEOGPA_MODELS_DIR/<name>,
     or the local huggingface hub cache."""
+    # Every production entry point (generate CLIs, replicate*, encode,
+    # preference-pair scorer, train) loads weights through here before its
+    # first compile — the one choke point to arm the persistent compilation
+    # cache so multi-process flows (replicate.sh's generate-then-score) pay
+    # the minutes-long remote TPU compiles once, not per process.
+    from videogpa_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     candidates = [name_or_path]
     env_root = os.environ.get("VIDEOGPA_MODELS_DIR")
     if env_root:

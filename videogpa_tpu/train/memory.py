@@ -29,19 +29,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def _enable_compile_cache() -> None:
     """Persistent compilation cache: the full 5B train-step compile takes
-    ~8 min; with the cache the driver's dryrun re-run is near-instant."""
-    if jax.config.jax_compilation_cache_dir:
-        return
-    default = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".jax_cache",
-    )
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:  # pragma: no cover - older jax knob names
-        pass
+    ~8 min; with the cache the driver's dryrun re-run is near-instant.
+    force=True because this path compiles against a TPU *topology* even
+    when the default platform is CPU (see ``__main__`` below)."""
+    from videogpa_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(force=True)
 
 from videogpa_tpu.models.cogvideox.config import CogVideoXConfig
 from videogpa_tpu.models.cogvideox.dit import dit_init
