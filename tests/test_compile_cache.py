@@ -72,6 +72,40 @@ def test_opt_out_env():
     assert out == "None", out
 
 
+def test_opt_out_falsey_spellings():
+    for v in ("false", "no", "off", "FALSE"):
+        out = _run(
+            SNIPPET.format(kwargs="force=True"),
+            env_extra={"VIDEOGPA_COMPILE_CACHE": v},
+        )
+        assert out == "None", (v, out)
+
+
+def test_cache_entry_actually_written_and_reused(tmp_path):
+    """End-to-end: a forced cache arm must WRITE an entry on first compile
+    and produce no new entries on a second-process recompile of the same
+    program — guarding against a jax upgrade renaming
+    ``jax_persistent_cache_min_compile_time_secs`` (the ``except`` in
+    ``enable_compile_cache`` would swallow it and fast-compiling programs
+    would silently stop being cached)."""
+    cache_dir = str(tmp_path / "cache")
+    snippet = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from videogpa_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache(force=True)
+print(float(jax.jit(lambda x: (x * 2.0).sum())(jnp.ones((32, 32)))))
+"""
+    _run(snippet, env_extra={"JAX_COMPILATION_CACHE_DIR": cache_dir})
+    entries = [f for f in os.listdir(cache_dir) if not f.startswith(".")]
+    assert entries, "first process wrote no persistent-cache entry"
+    _run(snippet, env_extra={"JAX_COMPILATION_CACHE_DIR": cache_dir})
+    entries2 = [f for f in os.listdir(cache_dir) if not f.startswith(".")]
+    assert sorted(entries2) == sorted(entries), (
+        "second process missed the cache (new entries appeared)"
+    )
+
+
 def test_user_config_wins():
     snippet = """
 import jax

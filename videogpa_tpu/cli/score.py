@@ -139,3 +139,71 @@ def score_groups(
                 n_fail += 1
         safe_save_json(data, output_json)
     return {"scored": n_done, "failed": n_fail, "resumed": n_skip}
+
+
+def main(argv=None):
+    """``videogpa-score`` console entry point — the preference-pair scorer
+    (surface parity: reference ``train/01_preference_pair.py``; the
+    ``train/01_preference_pair.py`` script wraps this)."""
+    import argparse
+    import time
+
+    parser = argparse.ArgumentParser(prog="videogpa-score")
+    parser.add_argument("--input_json", required=True)
+    parser.add_argument("--output_json", required=True)
+    parser.add_argument("--base_dir", default="")
+    parser.add_argument(
+        "--backbone",
+        default=os.environ.get("VIDEO_PROCESSOR_BACKBONE", "vggt"),
+    )
+    parser.add_argument("--model_name", default=None)
+    parser.add_argument("--num_frames", type=int, default=10)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="clips per device program (TPU batched scoring)")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="production int8 scoring (W8A8 trunk GEMMs + int8-QK "
+             "attention). Scoring only RANKS candidates — the most "
+             "quantization-tolerant consumer — but the rank-agreement "
+             "evidence so far is random-weights + noise-frames only "
+             "(bench.py reward_int8_rank_agreement); validate on real "
+             "checkpoints before trusting it for production pair-building.",
+    )
+    args = parser.parse_args(argv)
+
+    from videogpa_tpu.metrics import ConsistencyScore
+    from videogpa_tpu.reward import VideoProcessor
+
+    if args.backbone == "da3":
+        from videogpa_tpu.models.loader import load_da3
+
+        params, cfg = load_da3(args.model_name or "depth-anything/DA3-Large")
+    else:
+        from videogpa_tpu.models.loader import load_vggt
+
+        params, cfg = load_vggt(args.model_name or "facebook/VGGT-1B")
+
+    attn_impl = "auto"
+    if args.int8:
+        from videogpa_tpu.ops.quant import quantize_scorer_params
+
+        params, attn_impl = quantize_scorer_params(args.backbone, params)
+
+    vp = VideoProcessor(
+        {"Consistency_Score": ConsistencyScore()},
+        params=params, config=cfg, backbone=args.backbone,
+        attn_impl=attn_impl,
+    )
+    data = safe_load_json(args.input_json)
+    t0 = time.time()
+    stats = score_groups(
+        vp, data, args.output_json, base_dir=args.base_dir,
+        num_frames=args.num_frames, thresholds=[0],
+        batch_size=args.batch_size,
+    )
+    hours = (time.time() - t0) / 3600
+    print(f"Done in {hours:.2f} h ({stats}) -> {args.output_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,19 @@
-"""Shared DPO training driver (CogVideoX recipes).
+"""Shared DPO training driver (CogVideoX + Wan recipes).
 
 Behavior parity: reference ``train/CogVideoX-I2V-5B/03_train.py:210-281`` —
 98/2 split (seed 42), per-step training with periodic validation, top-k
 checkpointing by val loss, final PEFT LoRA export on completion, throughput
-telemetry.
+telemetry. ``train_wan_dpo`` mirrors ``train/Wan2.2-TI2V-5B/03_train.py``
+(flow matching, per-token timesteps, LoRA on blocks.* q/k/v/o).
+
+``main`` is the ``videogpa-train-dpo`` console entry point; the
+``train/*/03_train.py`` scripts are thin wrappers over the same recipes
+(``videogpa_tpu/train/recipes.py``).
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 
 import numpy as np
@@ -135,3 +141,100 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
     )
     logger.close()
     print(f"final LoRA exported to {os.path.join(out_dir, 'final_lora')}")
+
+
+def train_wan_dpo(config: dict):
+    """Wan2.2-TI2V-5B DPO: flow-matching loss with per-token timesteps.
+
+    Parity: reference ``train/Wan2.2-TI2V-5B/03_train.py:64-97,354-366``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from videogpa_tpu.checkpoint import TrainCheckpointer
+    from videogpa_tpu.models.loader import (
+        _to_f32, load_safetensors_dir, resolve_model_dir,
+    )
+    from videogpa_tpu.models.wan import WanConfig
+    from videogpa_tpu.models.wan.convert import convert_wan
+    from videogpa_tpu.train.dataset import DPODataset, collate, train_val_split
+    from videogpa_tpu.train.lora import export_peft, lora_init
+    from videogpa_tpu.train.trainer import TrainerConfig, init_train_state
+    from videogpa_tpu.train.wan_trainer import make_wan_dpo_train_step
+    from videogpa_tpu.utils import MetricLogger
+
+    cfg = WanConfig.ti2v_5b()
+    sd = _to_f32(load_safetensors_dir(resolve_model_dir(config["model_path"])))
+    base = convert_wan(sd, cfg)
+    base = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), base)
+
+    tcfg = TrainerConfig(
+        learning_rate=config["learning_rate"], beta=config["beta"],
+        warmup_steps=config["warmup_steps"], max_steps=config["max_steps"],
+        accumulate_grad_batches=config.get("accumulate_grad_batches", 1),
+        lora_rank=config["lora_rank"], lora_alpha=config["lora_alpha"],
+    )
+    lora = lora_init(jax.random.PRNGKey(0), cfg.num_layers, cfg.dim,
+                     rank=tcfg.lora_rank)
+    state = init_train_state(lora, tcfg)
+    train_step, eval_step = make_wan_dpo_train_step(base, cfg, tcfg)
+
+    ds = DPODataset(
+        base_path=config["base_path"], metadata_path=config["metadata_path"],
+        metric_name=config["metric_name"], metric_mode=config["metric_mode"],
+        min_gap=config["min_gap"],
+        metric_threshold=config.get("metric_threshold"),
+        motion_threshold=config["motion_threshold"],
+    )
+    train_idx, val_idx = train_val_split(len(ds), 0.02, seed=42)
+    out_dir = config["output_dir"]
+    ckpt = TrainCheckpointer(os.path.join(out_dir, "checkpoints"),
+                             save_top_k=config["save_top_k"])
+    logger = MetricLogger(out_dir, name="wan-dpo-tpu", config=config)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    step = 0
+    while step < tcfg.max_steps:
+        for i in rng.permutation(train_idx):
+            item = collate([ds[int(i)]])
+            batch = {k: jnp.asarray(v) for k, v in item.items()
+                     if k != "prompt"}
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+            step += 1
+            if step % config["log_every_n_steps"] == 0:
+                logger.log(step, {f"train/{k}": float(v)
+                                  for k, v in metrics.items()})
+            if step % config["checkpoint_every_n_steps"] == 0:
+                ckpt.save(step, {"lora": state.lora},
+                          metric=float(metrics["loss"]))
+            if step >= tcfg.max_steps:
+                break
+    export_peft(state.lora, os.path.join(out_dir, "final_lora"),
+                rank=tcfg.lora_rank, alpha=tcfg.lora_alpha,
+                base_model_class="WanModel",
+                parent_library="wan.modules.model", block_prefix="blocks")
+    logger.close()
+
+
+def main(argv=None):
+    """``videogpa-train-dpo <recipe> [--config cfg.yaml] [--base_path dir]``"""
+    from videogpa_tpu.train.recipes import RECIPES, build_config, run_recipe
+
+    parser = argparse.ArgumentParser(
+        prog="videogpa-train-dpo",
+        description="DPO LoRA training at one of the reference operating "
+                    "points (videogpa_tpu/train/recipes.py)",
+    )
+    parser.add_argument("recipe", choices=RECIPES)
+    parser.add_argument("--config", type=str, default=None,
+                        help="YAML with overrides under key 'training'")
+    parser.add_argument("--base_path", type=str, default=None)
+    args = parser.parse_args(argv)
+    run_recipe(args.recipe, build_config(args.recipe, args.config,
+                                         args.base_path))
+
+
+if __name__ == "__main__":
+    main()

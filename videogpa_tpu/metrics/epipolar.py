@@ -7,9 +7,10 @@ matches.
 
 SIFT keypoint detection is inherently host-side (OpenCV); the geometry
 (fundamental estimation + Sampson) runs in JAX so it can later be batched on
-device. The LightGlue matcher of the reference is a learned model — a JAX
-port is tracked as follow-up work; SIFT is the reference's default
-(``replicate_scorer.py:46`` descriptor_type env default "sift").
+device. The reference's learned alternative (SuperPoint+LightGlue) is also
+implemented in JAX — see ``LightGlueMatcher`` below and
+``videogpa_tpu/models/matching/`` — selected via ``descriptor_type``; SIFT is
+the reference's default (``replicate_scorer.py:46`` env default "sift").
 """
 
 from __future__ import annotations

@@ -270,6 +270,7 @@ def dpt_head_forward(
     with_conf: bool = True,
     inplace_relu: bool = True,
     chunk_size: int = 8,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """DPT dense prediction.
 
@@ -280,6 +281,11 @@ def dpt_head_forward(
             features are the peak-memory tensor (reference chunks at 8,
             ``vggt/heads/dpt_head.py:115-171``); the B*S axis is processed
             in ``lax.map`` chunks of the largest divisor <= chunk_size.
+        compute_dtype: dtype of the projection/fusion conv pyramid. f32
+            default = the reference's autocast-off policy
+            (``vggt/models/vggt.py:65-83``); activations
+            (``activate_head``) always compute in f32 regardless. Pass
+            bf16 params to run the pyramid in bf16 on TPU.
 
     Returns:
         (preds (B, S, H, W, out-1), conf (B, S, H, W)).
@@ -297,6 +303,7 @@ def dpt_head_forward(
         return _dpt_core(
             params, tokens, cfg, img_hw, activation, conf_activation,
             feature_only, down_ratio, use_pos_embed, with_conf, inplace_relu,
+            compute_dtype,
         )
 
     if chunk == BS:
@@ -321,6 +328,7 @@ def dpt_head_forward(
 def _dpt_core(
     params, layer_outputs, cfg, img_hw, activation, conf_activation,
     feature_only, down_ratio, use_pos_embed, with_conf, inplace_relu,
+    compute_dtype=jnp.float32,
 ):
     """Single-chunk DPT body. layer_outputs: (depth, K, P, C2) flat tokens."""
     H, W = img_hw
@@ -330,7 +338,7 @@ def _dpt_core(
     pyramid = []
     for i, layer_idx in enumerate(cfg.dpt_intermediate_layers):
         x = layer_outputs[layer_idx][:, cfg.patch_start_idx :]
-        x = x.reshape(K, ph * pw, C2).astype(jnp.float32)
+        x = x.reshape(K, ph * pw, C2).astype(compute_dtype)
         if params["norm"]:  # DA3 mono DPT uses norm_type="idt" (Identity)
             x = L.layernorm(params["norm"], x)
         x = jnp.transpose(x, (0, 2, 1)).reshape(K, C2, ph, pw)

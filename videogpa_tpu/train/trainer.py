@@ -10,7 +10,10 @@ TPU re-design (not a translation):
   policy (policy = base + LoRA), so the 5B weights live in HBM once — the
   reference keeps two full torch copies (``03_train.py:99-109``)
 - one jitted step runs policy fwd+bwd and reference fwd for both candidates;
-  grads exist only for the LoRA pytree (base params enter as constants)
+  grads exist only for the LoRA pytree. Base/VAE params enter the jit as
+  RUNTIME ARGUMENTS (never closure constants): closed-over arrays ship
+  inside the compile payload, and multi-GB payloads break the axon remote
+  compiler (HTTP 413 / broken pipe) — see ``make_dpo_train_step``
 - data parallelism is a ``data``-sharded batch on a Mesh; XLA inserts the
   gradient all-reduce over ICI (replaces Lightning DDP/NCCL)
 - optional tensor parallelism: base DiT kernels sharded over ``model``
