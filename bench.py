@@ -1,6 +1,12 @@
-"""Headline benchmark: CogVideoX-5B denoise steps/sec/chip (49f @ 480x720).
+"""Headline benchmarks: all three BASELINE.json north stars, one JSON line.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The driver-facing headline (metric/value/vs_baseline) is the CogVideoX-5B
+denoise rate; the other two north stars — Wan2.2-TI2V-5B denoise steps/s and
+VGGT reward scoring clips/min — run BY DEFAULT and are carried both as flat
+extras (back-compat names) and as the nested "denoise"/"wan"/"reward"
+blocks, each with its own vs_baseline. Disable with VIDEOGPA_BENCH_WAN=0 /
+VIDEOGPA_BENCH_REWARD=0 (e.g. on a broken-tunnel day).
 
 The metric matches BASELINE.json's north star ("Denoise steps/sec/chip,
 CogVideoX-5B 49f@720p"): one CFG denoising step = one DiT forward at batch 2
@@ -50,6 +56,11 @@ H100_ESTIMATE_STEPS_PER_SEC = 0.20  # round-1 denominator, kept for comparison
 # throughput as the CogVideoX number (BASELINE.md "Round-3 denominators"):
 WAN_BASELINE_STEPS_PER_SEC = 0.17  # 580.8 TFLOP/step (CFG pair, 81f@704x1280)
 REWARD_BASELINE_CLIPS_PER_MIN = 40.0  # ~1.5 s/clip reference pipeline on A100
+# CogVideoX1.5-5B flagship (CFG pair, 81f@768x1360 -> 22 latent frames at
+# patch_size_t=2, 45,106 tokens): 2,958 TFLOP/step by the same exact count
+# as the 49f number (858.1 GEMM + 2,100.2 attention), at the same 97.7 TF/s
+# A100-class anchor -> 30.3 s/step (BASELINE.md "Round-4 denominator").
+COG15_BASELINE_STEPS_PER_SEC = 0.033
 
 
 class _SkipExtra(Exception):
@@ -64,13 +75,14 @@ def _enable_compile_cache():
     enable()
 
 
-def bench_denoise(attn_impl="auto", w8a8=False):
+def bench_denoise(attn_impl="auto", w8a8=False, cfg=None):
     import jax
     import jax.numpy as jnp
 
     from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_forward, dit_init
 
-    cfg = CogVideoXConfig.tiny() if _TINY else CogVideoXConfig.cogvideox_5b()
+    if cfg is None:
+        cfg = CogVideoXConfig.tiny() if _TINY else CogVideoXConfig.cogvideox_5b()
     params = dit_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if w8a8:
         from videogpa_tpu.ops.quant import quantize_dit_int8, quantize_on_device
@@ -79,6 +91,9 @@ def bench_denoise(attn_impl="auto", w8a8=False):
     jax.block_until_ready(params)
 
     B, F = 2, cfg.sample_frames  # CFG pair; 13 latent = 49 pixel frames
+    if cfg.patch_size_t:
+        # 1.5 models round latent frames up to patch_size_t (pipeline.py)
+        F += (-F) % cfg.patch_size_t
     x = jax.random.normal(
         jax.random.PRNGKey(1),
         (B, F, cfg.in_channels, cfg.sample_height, cfg.sample_width),
@@ -510,7 +525,38 @@ def main():
             result["w8a8_vs_baseline"] = round(sps_q / BASELINE_STEPS_PER_SEC, 3)
         except Exception as e:  # pragma: no cover
             result["w8a8_error"] = str(e)[:200]
-    if os.environ.get("VIDEOGPA_BENCH_WAN") == "1":
+    if os.environ.get("VIDEOGPA_BENCH_COG15", "1") == "1":
+        # CogVideoX1.5-5B flagship operating point: 81f@768x1360, the longest
+        # sequence in the system (45,106 tokens; generate/CogVideoX1.5-5B.py)
+        import dataclasses as _dc
+
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig
+
+        cfg15 = (
+            _dc.replace(CogVideoXConfig.tiny(), patch_size_t=2)
+            if _TINY else CogVideoXConfig.cogvideox_1_5_5b()
+        )
+        try:
+            sps15, dt15 = bench_denoise(cfg=cfg15)
+            result["cog15_steps_per_sec"] = round(sps15, 4)
+            result["cog15_step_ms"] = round(dt15 * 1000, 1)
+            result["cog15_vs_baseline"] = round(
+                sps15 / COG15_BASELINE_STEPS_PER_SEC, 3
+            )
+        except Exception as e:  # pragma: no cover
+            result["cog15_error"] = str(e)[:200]
+        if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1":
+            try:
+                sps15q, dt15q = bench_denoise(
+                    attn_impl="flash_int8", w8a8=True, cfg=cfg15
+                )
+                result["cog15_w8a8_steps_per_sec"] = round(sps15q, 4)
+                result["cog15_w8a8_vs_baseline"] = round(
+                    sps15q / COG15_BASELINE_STEPS_PER_SEC, 3
+                )
+            except Exception as e:  # pragma: no cover
+                result["cog15_w8a8_error"] = str(e)[:200]
+    if os.environ.get("VIDEOGPA_BENCH_WAN", "1") == "1":
         try:
             wan_sps = bench_wan()
             result["wan_steps_per_sec"] = round(wan_sps, 4)
@@ -529,7 +575,7 @@ def main():
                 )
             except Exception as e:  # pragma: no cover
                 result["wan_w8a8_error"] = str(e)[:200]
-    if os.environ.get("VIDEOGPA_BENCH_REWARD") == "1":
+    if os.environ.get("VIDEOGPA_BENCH_REWARD", "1") == "1":
         try:
             single, batched, scores, per_clip = bench_reward()
             result["reward_clips_per_min"] = round(single, 2)
@@ -586,6 +632,50 @@ def main():
             result["overlap_decomposition"] = decomp
         except Exception as e:  # pragma: no cover
             result["overlap_error"] = str(e)[:200]
+
+    # nested north-star blocks: the full scoreboard in one place (the flat
+    # keys above are kept for back-compat with docs/older BENCH_r* files)
+    def _block(mapping):
+        b = {dst: result[src] for dst, src in mapping.items() if src in result}
+        return b or None
+
+    for name, mapping in (
+        ("denoise", {
+            "steps_per_sec": "value", "vs_baseline": "vs_baseline",
+            "step_ms": "step_ms",
+            "int8_steps_per_sec": "int8_steps_per_sec",
+            "int8_vs_baseline": "int8_vs_baseline",
+            "w8a8_steps_per_sec": "w8a8_steps_per_sec",
+            "w8a8_vs_baseline": "w8a8_vs_baseline",
+            "error": "denoise_error",
+        }),
+        ("cog15", {
+            "steps_per_sec": "cog15_steps_per_sec",
+            "vs_baseline": "cog15_vs_baseline",
+            "w8a8_steps_per_sec": "cog15_w8a8_steps_per_sec",
+            "w8a8_vs_baseline": "cog15_w8a8_vs_baseline",
+            "error": "cog15_error",
+        }),
+        ("wan", {
+            "steps_per_sec": "wan_steps_per_sec",
+            "vs_baseline": "wan_vs_baseline",
+            "w8a8_steps_per_sec": "wan_w8a8_steps_per_sec",
+            "w8a8_vs_baseline": "wan_w8a8_vs_baseline",
+            "error": "wan_error",
+        }),
+        ("reward", {
+            "clips_per_min": "reward_clips_per_min_batched",
+            "clips_per_min_single": "reward_clips_per_min",
+            "vs_baseline": "reward_vs_baseline",
+            "int8_clips_per_min": "reward_int8_clips_per_min_batched",
+            "int8_vs_baseline": "reward_int8_vs_baseline",
+            "int8_rank_agreement": "reward_int8_rank_agreement",
+            "error": "reward_error",
+        }),
+    ):
+        block = _block(mapping)
+        if block:
+            result[name] = block
     print(json.dumps(result))
 
 

@@ -188,6 +188,53 @@ class TestServiceBackend:
                 assert False, "expected 400"
             except urllib.error.HTTPError as e:
                 assert e.code == 400
+
+            def run_task(payload):
+                req = urllib.request.Request(
+                    f"{base}/infer", data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                tid = json.loads(urllib.request.urlopen(req).read())["task_id"]
+                for _ in range(240):
+                    task = json.loads(
+                        urllib.request.urlopen(f"{base}/tasks/{tid}").read()
+                    )
+                    if task["status"] in ("done", "error"):
+                        return task
+                    time.sleep(0.5)
+                return task
+
+            # video input: fps sampling (reference VideoHandler,
+            # services/input_handlers.py:221-286)
+            from videogpa_tpu.data.video_io import write_video
+
+            vid_path = str(tmp_path / "clip.mp4")
+            write_video(
+                vid_path,
+                np.zeros((16, 56, 56, 3), np.uint8),
+                fps=8,
+            )
+            task = run_task({"video": vid_path, "fps": 4, "export": "npz"})
+            assert task["status"] == "done", task
+            assert task["n_frames"] == 8, task  # 16 frames @ 8fps -> 4fps
+
+            # colmap input: images + sparse model -> pose-conditioned infer
+            # (reference ColmapHandler, services/input_handlers.py:108-160)
+            scene = tmp_path / "scene"
+            (scene / "images").mkdir(parents=True)
+            (scene / "sparse").mkdir()
+            with open(scene / "sparse" / "cameras.txt", "w") as f:
+                f.write("1 PINHOLE 56 56 60 60 28 28\n")
+            with open(scene / "sparse" / "images.txt", "w") as f:
+                for i in range(2):
+                    f.write(f"{i + 1} 1 0 0 0 {i * 0.1} 0 1 1 im_{i}.png\n\n")
+                    cv2.imwrite(
+                        str(scene / "images" / f"im_{i}.png"),
+                        np.zeros((56, 56, 3), np.uint8),
+                    )
+            task = run_task({"colmap": str(scene), "export": "npz"})
+            assert task["status"] == "done", task
+            assert task["n_frames"] == 2, task
         finally:
             server.shutdown()
 

@@ -56,5 +56,14 @@ def test_bench_tiny_cpu_end_to_end():
     ):
         assert key in result, (key, result)
         assert result[key] > 0, (key, result)
+    # the three nested north-star blocks (what BENCH_r* records for the judge)
+    for block, value_key in (
+        ("denoise", "steps_per_sec"),
+        ("wan", "steps_per_sec"),
+        ("reward", "clips_per_min"),
+    ):
+        assert block in result, result
+        assert result[block][value_key] > 0, (block, result[block])
+        assert "vs_baseline" in result[block], (block, result[block])
     errors = {k: v for k, v in result.items() if k.endswith("_error")}
     assert not errors, errors

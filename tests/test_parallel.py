@@ -97,6 +97,77 @@ class TestVGGTTP:
             )
 
 
+class TestTPTrainingNumerics:
+    def test_sharded_dpo_step_matches_replicated(self):
+        """TP x remat x LoRA TRAINING equivalence: the dp=2 x tp=4 sharded
+        DPO train step must produce the same loss, grad norm, and updated
+        LoRA params as the single-device replicated step (VERDICT r3 weak
+        #8 — the dryrun only checks finiteness)."""
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_init
+        from videogpa_tpu.parallel.sharding import lora_param_specs
+        from videogpa_tpu.train.lora import lora_init
+        from videogpa_tpu.train.trainer import (
+            TrainerConfig,
+            init_train_state,
+            make_dpo_train_step,
+        )
+
+        cfg = CogVideoXConfig.tiny()
+        tcfg = TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, max_steps=10, lora_rank=4,
+            lora_alpha=8.0, compute_dtype=jnp.float32, remat=True,
+            attn_impl="xla",
+        )
+        base = dit_init(jax.random.PRNGKey(0), cfg)
+        lora = lora_init(jax.random.PRNGKey(1), cfg.num_layers, cfg.hidden_dim, rank=4)
+        rng = np.random.default_rng(0)
+        B = 2
+        batch = {
+            "x_win": jnp.asarray(rng.standard_normal(
+                (B, cfg.in_channels, cfg.sample_frames,
+                 cfg.sample_height, cfg.sample_width)), jnp.float32),
+            "x_lose": jnp.asarray(rng.standard_normal(
+                (B, cfg.in_channels, cfg.sample_frames,
+                 cfg.sample_height, cfg.sample_width)), jnp.float32),
+            "prompt_emb": jnp.asarray(rng.standard_normal(
+                (B, cfg.max_text_seq_length, cfg.text_embed_dim)), jnp.float32),
+        }
+        key = jax.random.PRNGKey(7)
+
+        # build BOTH states before stepping: the train step donates its
+        # state, so the shared lora leaves must be copied up front
+        mesh = make_mesh(MeshAxes(data=2, model=4))
+        base_sh = shard_tree(base, dit_param_specs(base), mesh)
+        lora_sh = shard_tree(lora, lora_param_specs(lora), mesh)
+        state_sh = init_train_state(lora_sh, tcfg)
+        batch_sh = shard_tree(batch, batch_specs(batch), mesh)
+        lora_rep = jax.tree_util.tree_map(jnp.copy, lora)
+        state_rep = init_train_state(lora_rep, tcfg)
+
+        # replicated single-device step
+        step_rep, _ = make_dpo_train_step(base, cfg, tcfg)
+        state_rep, m_rep = step_rep(state_rep, batch, key)
+
+        # dp=2 x tp=4 sharded step
+        step_sh, _ = make_dpo_train_step(base_sh, cfg, tcfg)
+        with jax.set_mesh(mesh):
+            state_sh, m_sh = step_sh(state_sh, batch_sh, key)
+
+        for k in ("loss", "reward_margin", "grad_norm"):
+            np.testing.assert_allclose(
+                float(m_sh[k]), float(m_rep[k]), rtol=2e-5, atol=2e-6,
+                err_msg=k,
+            )
+        flat_rep = jax.tree_util.tree_leaves_with_path(state_rep.lora)
+        flat_sh = jax.tree_util.tree_leaves_with_path(state_sh.lora)
+        for (path_r, leaf_r), (path_s, leaf_s) in zip(flat_rep, flat_sh):
+            assert path_r == path_s
+            np.testing.assert_allclose(
+                np.asarray(leaf_s), np.asarray(leaf_r), atol=1e-5,
+                err_msg=jax.tree_util.keystr(path_r),
+            )
+
+
 class TestDiTTPBatch:
     def test_dit_tp_with_data_sharded_batch(self):
         from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_forward, dit_init

@@ -6,6 +6,8 @@ model held by a worker thread draining a task queue, with endpoints
 
     GET  /status          server + model state
     POST /infer           {"images": [b64 or path, ...], "export": "npz"}
+                          {"video": path, "fps": 1.0, ...}
+                          {"colmap": dir, "sparse_subdir": "", ...}
     GET  /tasks           task listing
     GET  /tasks/<id>      task state/result path
     GET  /memory          device memory introspection
@@ -30,6 +32,39 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 TASK_TTL_SECONDS = 3600.0
+
+
+def _sample_video_fps(video_path: str, fps: float = 1.0):
+    """Sample frames from a video at ~fps frames/second -> (S, H, W, 3) uint8.
+
+    Mirrors the reference VideoHandler: frame interval
+    ``max(1, int(video_fps / fps))``; requesting more than the native rate
+    decodes every frame (``services/input_handlers.py:221-286``). Uses
+    OpenCV metadata instead of ffprobe (same fields).
+    """
+    import cv2
+    import numpy as np
+
+    if not os.path.exists(video_path):
+        raise FileNotFoundError(f"video not found: {video_path}")
+    cap = cv2.VideoCapture(video_path)
+    try:
+        video_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    finally:
+        cap.release()
+    if total <= 0:
+        from videogpa_tpu.data.video_io import read_video_frames
+
+        frames = read_video_frames(video_path)
+        total = len(frames)
+        interval = max(1, int(video_fps / fps))
+        return frames[::interval]
+    interval = max(1, int(video_fps / fps))
+    idx = np.arange(0, total, interval)
+    from videogpa_tpu.data.video_io import read_video_frames
+
+    return read_video_frames(video_path, idx)
 
 
 class ModelBackend:
@@ -66,36 +101,67 @@ class ModelBackend:
 
     # -- tasks ---------------------------------------------------------
 
-    def submit(self, images, export_format: str = "npz") -> str:
+    def submit(self, request: Dict[str, Any]) -> str:
+        """Queue an inference request. ``request`` carries one input source —
+        ``images`` (b64/path list), ``video`` (path + optional ``fps``), or
+        ``colmap`` (project dir + optional ``sparse_subdir``) — plus
+        ``export`` (reference input surface:
+        ``depth_anything_3/services/input_handlers.py:66-286``)."""
         task_id = uuid.uuid4().hex[:12]
         self.tasks[task_id] = {
             "id": task_id,
             "status": "queued",
             "created": time.time(),
-            "export": export_format,
+            "export": request.get("export", "npz"),
         }
-        self._queue.put((task_id, images, export_format))
+        self._queue.put((task_id, request))
         return task_id
+
+    def _resolve_input(self, request: Dict[str, Any]):
+        """request -> (frames (S, H, W, 3) uint8, gt_extrinsics or None)."""
+        import numpy as np
+
+        if request.get("images"):
+            frames = np.stack(
+                [self._decode_image(i) for i in request["images"]]
+            )
+            return frames, None
+        if request.get("video"):
+            frames = _sample_video_fps(
+                request["video"], float(request.get("fps", 1.0))
+            )
+            return np.stack([self._resize_14(f) for f in frames]), None
+        if request.get("colmap"):
+            from videogpa_tpu.models.da3.colmap_io import load_colmap_scene
+
+            files, extrinsics, _intrinsics = load_colmap_scene(
+                request["colmap"], request.get("sparse_subdir", "")
+            )
+            frames = np.stack([self._decode_image(p) for p in files])
+            return frames, extrinsics
+        raise ValueError("one of images/video/colmap required")
 
     def _drain(self):
         while True:
-            task_id, images, export_format = self._queue.get()
+            task_id, request = self._queue.get()
             task = self.tasks.get(task_id)
             if task is None:
                 continue
             task["status"] = "running"
             try:
-                import numpy as np
-
                 from videogpa_tpu.models.da3.export import export
                 from videogpa_tpu.models.da3.model import da3_inference
 
                 self._ensure_model()
-                frames = np.stack([self._decode_image(i) for i in images])
-                pred = da3_inference(self._params, frames, self._cfg)
+                frames, gt_extrinsics = self._resolve_input(request)
+                pred = da3_inference(
+                    self._params, frames, self._cfg,
+                    gt_extrinsics=gt_extrinsics,
+                )
                 out_dir = os.path.join(self.out_root, task_id)
-                path = export(pred, export_format, out_dir)
-                task.update(status="done", result=path, finished=time.time())
+                path = export(pred, request.get("export", "npz"), out_dir)
+                task.update(status="done", result=path, n_frames=len(frames),
+                            finished=time.time())
             except Exception as e:
                 task.update(status="error", error=str(e), finished=time.time())
 
@@ -109,6 +175,13 @@ class ModelBackend:
         else:
             raw = np.frombuffer(base64.b64decode(item), np.uint8)
             img = cv2.cvtColor(cv2.imdecode(raw, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        return ModelBackend._resize_14(img)
+
+    @staticmethod
+    def _resize_14(img):
+        """Resize so max side ~518 and both sides are /14-divisible."""
+        import cv2
+
         h, w = img.shape[:2]
         scale = 518 / max(h, w)
         nh = max(14, round(h * scale / 14) * 14)
@@ -234,10 +307,11 @@ def make_handler(backend: ModelBackend):
             except json.JSONDecodeError:
                 return self._send(400, {"error": "invalid JSON"})
             if self.path == "/infer":
-                images = payload.get("images")
-                if not images:
-                    return self._send(400, {"error": "images required"})
-                task_id = backend.submit(images, payload.get("export", "npz"))
+                if not any(payload.get(k) for k in ("images", "video", "colmap")):
+                    return self._send(
+                        400, {"error": "one of images/video/colmap required"}
+                    )
+                task_id = backend.submit(payload)
                 return self._send(200, {"task_id": task_id})
             if self.path == "/reload":
                 try:

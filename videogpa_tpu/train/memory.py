@@ -168,11 +168,99 @@ def aot_train_memory(
     return stats
 
 
+def aot_wan_train_memory(
+    mesh: Optional[Mesh] = None,
+    batch_size: int = 2,
+    latent_fhw: tuple = (21, 44, 80),
+) -> Dict[str, Any]:
+    """AOT memory proof for the Wan2.2-TI2V-5B DPO train step (flow matching,
+    per-token timesteps) at the reference operating point — 81f@704x1280
+    video = (21, 44, 80) latents, 18,480 DiT tokens at patch (1,2,2) —
+    reference ``train/Wan2.2-TI2V-5B/03_train.py:354-366`` (the other 8-GPU
+    requirement).  Same method as :func:`aot_train_memory`: abstract
+    ShapeDtypeStruct weights, compile-only v5e:2x4 topology, per-device HBM
+    from ``memory_analysis``.
+    """
+    from videogpa_tpu.models.wan.config import WanConfig
+    from videogpa_tpu.models.wan.dit import wan_init
+    from videogpa_tpu.parallel.sharding import wan_param_specs
+    from videogpa_tpu.train.wan_trainer import make_wan_dpo_train_step_unbound
+
+    _enable_compile_cache()
+    cfg = WanConfig.ti2v_5b()
+    tcfg = TrainerConfig(
+        lora_rank=64,
+        lora_alpha=128.0,
+        compute_dtype=jnp.bfloat16,
+        remat=True,
+        attn_impl="flash",
+    )
+    if mesh is None:
+        mesh = tpu_topology_mesh()
+
+    key0 = jax.random.PRNGKey(0)
+    base_shapes = jax.eval_shape(
+        lambda k: wan_init(k, cfg, dtype=jnp.bfloat16), key0
+    )
+    base_sds = _sds(base_shapes, wan_param_specs(base_shapes), mesh)
+
+    lora_shapes = jax.eval_shape(
+        lambda k: lora_init(k, cfg.num_layers, cfg.dim, rank=tcfg.lora_rank),
+        key0,
+    )
+    state_shapes = jax.eval_shape(lambda l: init_train_state(l, tcfg), lora_shapes)
+    state_sds = _sds(
+        state_shapes,
+        jax.tree_util.tree_map(lambda _: P(), state_shapes),
+        mesh,
+    )
+
+    B = batch_size
+    F, H, W = latent_fhw
+    lat = jax.ShapeDtypeStruct((B, cfg.in_channels, F, H, W), jnp.float32)
+    batch_shapes = {
+        "x_win": lat,
+        "x_lose": lat,
+        "prompt_emb": jax.ShapeDtypeStruct((B, cfg.text_len, cfg.text_dim), jnp.float32),
+    }
+    batch_sds = _sds(batch_shapes, batch_specs(batch_shapes), mesh)
+    key_sds = jax.ShapeDtypeStruct(key0.shape, key0.dtype)
+
+    train_step, _ = make_wan_dpo_train_step_unbound(cfg, tcfg)
+    with jax.set_mesh(mesh):
+        compiled = train_step.lower(base_sds, state_sds, batch_sds, key_sds).compile()
+    ma = compiled.memory_analysis()
+    total = (
+        ma.argument_size_in_bytes
+        + ma.temp_size_in_bytes
+        + ma.output_size_in_bytes
+        - ma.alias_size_in_bytes
+    )
+    pt, ph, pw = cfg.patch_size
+    return {
+        "platform": mesh.devices.flat[0].platform,
+        "mesh": {a: int(s) for a, s in zip(mesh.axis_names, mesh.devices.shape)},
+        "global_batch_pairs": B,
+        "tokens": (F // pt) * (H // ph) * (W // pw),
+        "attn_impl": tcfg.attn_impl,
+        "per_device_hbm_bytes": int(total),
+        "per_device_hbm_gib": round(total / 2**30, 3),
+        "peak_heap_gib": round(ma.peak_memory_in_bytes / 2**30, 3),
+        "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+        "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+        "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
+        "alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
+    }
+
+
 if __name__ == "__main__":
     import json
+    import sys
 
     # eager constants (scheduler tables) go to CPU; the TPU topology client
     # is compile-only and independent of the default platform. Without this
     # the first jnp op initializes the (slow, remote) axon device client.
     jax.config.update("jax_platforms", "cpu")
-    print(json.dumps(aot_train_memory(), indent=2))
+    which = sys.argv[1] if len(sys.argv) > 1 else "cogvideox"
+    fn = aot_wan_train_memory if which == "wan" else aot_train_memory
+    print(json.dumps(fn(), indent=2))

@@ -30,7 +30,16 @@ from videogpa_tpu.train.loss import DPOLoss
 from videogpa_tpu.train.trainer import TrainerConfig, TrainState, make_optimizer
 
 
-def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
+def make_wan_dpo_train_step_unbound(cfg: WanConfig, tcfg: TrainerConfig):
+    """Build the jitted Wan DPO train step with base params UNBOUND.
+
+    Returns (train_step, eval_step) with signature
+    ``step(base_params, state, batch, key)``. The unbound form exists so the
+    step can be AOT-lowered against abstract ``jax.ShapeDtypeStruct`` params
+    (the Wan 5B memory proof, ``train/memory.py::aot_wan_train_memory``)
+    without materializing the 5B weights; ``make_wan_dpo_train_step`` binds
+    concrete params for normal use.
+    """
     loss_fn_obj = DPOLoss(beta=tcfg.beta)
     optimizer = make_optimizer(tcfg)
     lora_scaling = tcfg.lora_alpha / tcfg.lora_rank
@@ -103,6 +112,11 @@ def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
         _, metrics = shared_step(base_p, state.lora, batch, key)
         return metrics
 
+    return _train_step, _eval_step
+
+
+def make_wan_dpo_train_step(base_params, cfg: WanConfig, tcfg: TrainerConfig):
+    _train_step, _eval_step = make_wan_dpo_train_step_unbound(cfg, tcfg)
     train_step = functools.partial(_train_step, base_params)
     eval_step = functools.partial(_eval_step, base_params)
     return train_step, eval_step
