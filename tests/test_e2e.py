@@ -153,6 +153,210 @@ class TestEndToEndSlice:
         assert np.isfinite(np.asarray(video)).all()
 
 
+class TestClosedLoopDPO:
+    """The product claim, closed at tiny scale: score candidates with the
+    geometry reward -> build win/lose pairs FROM THE SCORES -> DPO -> the
+    policy's fresh samples move toward the preferred (higher-reward)
+    candidate distribution (reference ``README.md:205-244`` — replicate.sh's
+    accept test at real scale).
+
+    Setup mirrors the real regime: the tiny DiT is first pretrained
+    (diffusion SFT) on all candidate videos with the low-reward mode
+    dominant, so its samples live on the candidate manifold and DPO has a
+    preferred direction to pull toward. Candidate quality axis: content
+    smoothness — measured scorer sensitivity at tiny scale shows
+    random-weight VGGT consistency separates clean (~0.25) from
+    noise-corrupted (~0.29+) reliably, while temporal-jitter differences are
+    sub-noise.
+
+    Assertions (each measured robust across three prototype configs):
+    1. the scorer ranks the geometrically-consistent candidate better;
+    2. the DPO implicit-reward margin grows over training;
+    3. post-DPO fresh samples move toward the win distribution in latent
+       space (min-MSE to the win set drops);
+    4. post-DPO samples score better than the rejected candidates.
+    A mean-score-improvement assertion on re-scored samples is deliberately
+    NOT made: with random scorer weights the per-sample consistency score is
+    a chaotic function of pixels (z-buffer winners / top-k masks flip
+    discontinuously — same phenomenon as the documented int8 score drift),
+    so its sign at tiny scale is seed-level noise even when the latent
+    distribution demonstrably moves the right way. On real weights this is
+    exactly replicate.sh's protocol.
+    """
+
+    def test_dpo_moves_policy_toward_preferred_candidates(self):
+        import cv2
+        import optax
+
+        from videogpa_tpu.models.cogvideox.dit import dit_forward
+        from videogpa_tpu.models.cogvideox.pipeline import (
+            SamplerSettings,
+            sample_t2v,
+        )
+        from videogpa_tpu.models.cogvideox.scheduler import CogVideoXScheduler
+        from videogpa_tpu.train import merge_lora
+
+        ccfg = CogVideoXConfig.tiny()
+        vcfg = VGGTConfig.tiny()
+        dit0 = dit_init(jax.random.PRNGKey(0), ccfg)
+        vae = vae_init(jax.random.PRNGKey(1), ccfg)
+        vggt = vggt_init(jax.random.PRNGKey(2), vcfg)
+        vp = VideoProcessor(
+            {"Consistency_Score": ConsistencyScore(None)},
+            params=vggt, config=vcfg,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+
+        G, NF, H, W = 3, 5, 32, 48
+        rng = np.random.default_rng(0)
+        txts = [
+            jnp.asarray(rng.standard_normal(
+                (1, ccfg.max_text_seq_length, ccfg.text_embed_dim)
+            ).astype(np.float32))
+            for _ in range(G)
+        ]
+        neg = jnp.zeros_like(txts[0])
+        settings = SamplerSettings(num_inference_steps=4)
+
+        def gen(params, txt, seed):
+            return sample_t2v(
+                params, vae, txt, neg, ccfg, jax.random.PRNGKey(seed),
+                num_frames=NF, height=H, width=W, settings=settings,
+                attn_impl="xla", compute_dtype=jnp.float32,
+            )
+
+        def score_frames(frames_u8):
+            res = vp.process_frames(frames_u8, [0])
+            return float(res[0]["Consistency_Score"])
+
+        def to_uint8(video):
+            v = np.asarray(video[0]).transpose(1, 2, 3, 0)
+            return np.clip((v + 1) * 127.5, 0, 255).astype(np.uint8)
+
+        def enc(v_u8):
+            vid = jnp.asarray(
+                v_u8.astype(np.float32).transpose(3, 0, 1, 2)[None] / 127.5 - 1
+            )
+            return vae_encode(vae, vid, ccfg, sample=False)
+
+        # ---- phase 1: score candidates, pairs FROM the scores ----
+        pairs, all_lats, all_txt, lose_scores = [], [], [], []
+        for g in range(G):
+            bg = cv2.GaussianBlur(
+                rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8), (0, 0), 3
+            )
+            clean = np.stack([
+                bg[10 + 2 * t:10 + 2 * t + H, 10 + 3 * t:10 + 3 * t + W]
+                for t in range(NF)
+            ])
+            noisy = np.clip(
+                clean.astype(np.int16)
+                + np.random.default_rng(300 + g).integers(-90, 90, clean.shape),
+                0, 255,
+            ).astype(np.uint8)
+            scs = [score_frames(clean), score_frames(noisy)]
+            # assertion 1: the geometrically-consistent candidate wins
+            # (consistency_score: lower = better, metric_mode "min")
+            assert scs[0] < scs[1], scs
+            lose_scores.append(scs[1])
+            lw, ll = enc(clean), enc(noisy)
+            pairs.append((lw, ll, txts[g]))
+            all_lats += [lw, ll]
+            all_txt += [txts[g], txts[g]]
+            # low-reward mode dominant in the pretraining mix
+            for extra in range(2):
+                nz = np.clip(
+                    clean.astype(np.int16)
+                    + np.random.default_rng(400 + 10 * g + extra).integers(
+                        -90, 90, clean.shape),
+                    0, 255,
+                ).astype(np.uint8)
+                all_lats.append(enc(nz))
+                all_txt.append(txts[g])
+
+        # ---- pretrain the tiny DiT on the candidate mix (diffusion SFT) ----
+        scheduler = CogVideoXScheduler()
+        X = jnp.transpose(jnp.concatenate(all_lats), (0, 2, 1, 3, 4))
+        E = jnp.concatenate(all_txt)
+        opt = optax.adam(1e-3)
+
+        def sft_loss(params, key):
+            k_t, k_n = jax.random.split(key)
+            t = jax.random.randint(
+                k_t, (X.shape[0],), 0, scheduler.num_train_timesteps
+            )
+            noise = jax.random.normal(k_n, X.shape, jnp.float32)
+            v = dit_forward(
+                params, scheduler.add_noise(X, noise, t), E, t, ccfg,
+                attn_impl="xla", compute_dtype=jnp.float32,
+            )
+            return jnp.mean((v - scheduler.get_velocity(X, noise, t)) ** 2)
+
+        @jax.jit
+        def pre_step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(sft_loss)(params, key)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        dit = dit0
+        opt_state = opt.init(dit)
+        for i in range(300):
+            dit, opt_state, _l = pre_step(dit, opt_state, jax.random.PRNGKey(5000 + i))
+
+        # ---- phase 3: DPO LoRA on the scored pairs ----
+        tcfg = TrainerConfig(
+            learning_rate=1e-3, warmup_steps=5, max_steps=300, beta=1.0,
+            lora_rank=8, lora_alpha=16.0, compute_dtype=jnp.float32,
+            remat=False, attn_impl="xla",
+        )
+        lora = lora_init(jax.random.PRNGKey(3), ccfg.num_layers,
+                         ccfg.hidden_dim, rank=8)
+        state = init_train_state(lora, tcfg)
+        train_step, _ = make_dpo_train_step(dit, ccfg, tcfg)
+        batch = {
+            "x_win": jnp.concatenate([p[0] for p in pairs]),
+            "x_lose": jnp.concatenate([p[1] for p in pairs]),
+            "prompt_emb": jnp.concatenate([p[2] for p in pairs]),
+        }
+        first_margin = last_margin = None
+        for i in range(tcfg.max_steps):
+            state, metrics = train_step(state, batch, jax.random.PRNGKey(10 + i))
+            if first_margin is None:
+                first_margin = float(metrics["reward_margin"])
+            last_margin = float(metrics["reward_margin"])
+        # assertion 2: the implicit-reward margin grew (measured ~0.0 -> 0.45
+        # at this config; 0.1 is a robust floor)
+        assert np.isfinite(last_margin)
+        assert last_margin > first_margin + 0.1, (first_margin, last_margin)
+
+        # ---- re-sample with the DPO'd policy on FRESH seeds, re-score ----
+        merged = merge_lora(dit, state.lora, tcfg.lora_rank, tcfg.lora_alpha)
+        win_lats = jnp.stack([p[0][0] for p in pairs])
+
+        def dist_to_wins(video):
+            lat = enc(to_uint8(video))
+            return float(jnp.min(jnp.mean(
+                (win_lats - lat[None]) ** 2, axis=(1, 2, 3, 4, 5)
+            )))
+
+        pre_d, post_d, post_s = [], [], []
+        for g in range(G):
+            for c in range(4):
+                seed = 900 + g * 4 + c
+                pre_d.append(dist_to_wins(gen(dit, txts[g], seed)))
+                v_post = gen(merged, txts[g], seed)
+                post_d.append(dist_to_wins(v_post))
+                post_s.append(score_frames(to_uint8(v_post)))
+        # assertion 3: the policy's samples moved toward the preferred
+        # (win) distribution (measured 0.219 -> 0.199 at this config)
+        assert np.mean(post_d) < np.mean(pre_d) - 0.005, (
+            np.mean(pre_d), np.mean(post_d))
+        # assertion 4: post-DPO samples score better than the REJECTED
+        # candidates — the reward-level sanity bound (post ~0.27 vs ~0.29)
+        assert np.mean(post_s) < np.mean(lose_scores), (
+            np.mean(post_s), lose_scores)
+
+
 class TestVideoWriteFFmpeg:
     """write_video prefers the reference's ffmpeg x264 pipe when available
     (reference generate/Wan2.2-TI2V-5B.py:24-38) and falls back to OpenCV."""

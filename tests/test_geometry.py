@@ -221,6 +221,68 @@ class TestSplatting:
             jnp.asarray(E), H, W, valid=jnp.asarray(valid))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_packed_zbuffer_matches_scatter_on_separated_depths(self):
+        """The fused all-views packed-key z-buffer (production scorer fast
+        path) is bit-identical to the exact scatter whenever per-pixel depth
+        gaps exceed the 10-bit quantum — construct depths on a coarse grid
+        (gap 0.25 over range ~8 >> 8/1022) so winners must agree, including
+        tie-breaks (equal z -> equal bucket -> lowest point id, both
+        impls)."""
+        rng = np.random.default_rng(11)
+        N, H, W, T = 2000, 24, 32, 3
+        points = rng.standard_normal((N, 3)).astype(np.float32)
+        points[:, 2] += 4.0
+        points[:, 2] = np.round(points[:, 2] * 4) / 4  # coarse z + real ties
+        colors = rng.uniform(0, 255, (N, 3)).astype(np.float32)
+        Ks = np.tile(
+            np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32),
+            (T, 1, 1),
+        )
+        Es = np.stack([
+            np.concatenate(
+                [np.eye(3), np.array([[0.1 * t], [0.0], [0.2 * t]])], axis=1
+            ).astype(np.float32)
+            for t in range(T)
+        ])
+        valid = rng.uniform(size=N) > 0.1
+
+        exact = batch_reproject(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(Ks),
+            jnp.asarray(Es), H, W, valid=jnp.asarray(valid))
+        packed = batch_reproject(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(Ks),
+            jnp.asarray(Es), H, W, valid=jnp.asarray(valid),
+            zbuffer_impl="packed")
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(packed))
+
+    def test_packed_zbuffer_close_on_random_depths(self):
+        """On arbitrary continuous depths the packed impl may flip winners
+        within a depth quantum; the rendered frames must still agree on the
+        overwhelming majority of pixels."""
+        rng = np.random.default_rng(12)
+        N, H, W, T = 5000, 24, 32, 3
+        points = rng.standard_normal((N, 3)).astype(np.float32)
+        points[:, 2] += 4.0
+        colors = rng.uniform(0, 255, (N, 3)).astype(np.float32)
+        Ks = np.tile(
+            np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32),
+            (T, 1, 1),
+        )
+        Es = np.stack([
+            np.concatenate(
+                [np.eye(3), np.array([[0.1 * t], [0.0], [0.2 * t]])], axis=1
+            ).astype(np.float32)
+            for t in range(T)
+        ])
+        exact = np.asarray(batch_reproject(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(Ks),
+            jnp.asarray(Es), H, W))
+        packed = np.asarray(batch_reproject(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(Ks),
+            jnp.asarray(Es), H, W, zbuffer_impl="packed"))
+        same = np.all(exact == packed, axis=1)  # (T, H, W) per-pixel
+        assert same.mean() > 0.99, same.mean()
+
     def test_batch_reproject_range_and_shape(self):
         rng = np.random.default_rng(8)
         points = jnp.asarray(rng.standard_normal((100, 3)), jnp.float32)

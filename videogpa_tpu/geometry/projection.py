@@ -107,12 +107,23 @@ def batch_reproject(
         points: (N, 3); colors: (N, 3) in [0, 255] or [0, 1].
         intrinsics: (T, 3, 3); extrinsics: (T, 3, 4) or (T, 4, 4).
         valid: optional (N,) bool padding mask.
+        zbuffer_impl: "scatter" (exact two-pass scatter-min, the parity
+            default), "sorted" (exact, scatter-free), or "packed" (one
+            fused scatter-min for ALL views with 10-bit-quantized depth in
+            the key — the fast production path; see
+            :func:`reproject_views_packed`).
 
     Returns:
         (T, 3, H, W) float32 frames in [-1, 1] (reference
         ``utils/projection_utils.py:99-101`` normalization).
     """
     colors = jnp.where(jnp.max(colors) <= 1.0, colors * 255.0, colors)
+    if zbuffer_impl == "packed":
+        render = reproject_views_packed(
+            points, colors, intrinsics, extrinsics, H, W, valid
+        )
+        frames = jnp.transpose(render, (0, 3, 1, 2))
+        return (frames / 255.0) * 2.0 - 1.0
     one_view = (
         project_points_zbuffer_sorted
         if zbuffer_impl == "sorted"
@@ -129,6 +140,86 @@ def batch_reproject(
     )
     frames = jnp.transpose(render, (0, 3, 1, 2))
     return (frames / 255.0) * 2.0 - 1.0
+
+
+def reproject_views_packed(
+    points: jax.Array,
+    colors: jax.Array,
+    intrinsics: jax.Array,
+    extrinsics: jax.Array,
+    H: int,
+    W: int,
+    valid: Optional[jax.Array] = None,
+    bg: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> jax.Array:
+    """All-views z-buffer splat as ONE packed-key scatter-min.
+
+    Why: XLA:TPU scatters serialize per update, so the exact two-pass
+    z-buffer costs ~300 ms/view at production shape (2.68M points, K=4
+    batched) — the fused reward scorer measured GEOMETRY-bound, 3.19 s of a
+    6.55 s program (tools/onchip_scorer_native.py, round 4). Two levers,
+    both measured on-chip (tools/onchip_zbuffer_ab.py):
+
+    - scatter latency amortizes sub-linearly over batched updates
+      (1x2.68M: 45.7 ms; 4x batched: 99.5 ms) -> fuse ALL T views into one
+      scatter over a (T*(H*W+1),) buffer;
+    - the two passes (z winner, then lowest-id-at-winner) collapse to ONE
+      by packing (quantized z, point id) into a single uint32 ordered key:
+      min(key) = nearest 10-bit-quantized depth, lowest point id among
+      quantization ties.
+
+    Exactness: winners match the exact scatter wherever per-pixel depth
+    gaps exceed the quantum (z-range/1023). Where two points fall in the
+    same depth bucket the LOWER-ID one wins even if marginally farther —
+    a sub-quantum occlusion flip with no effect at the metric level. The
+    exact impls stay the default for parity; this is the scorer's
+    production path (``VIDEOGPA_ZBUFFER=scatter`` reverts).
+    """
+    T = intrinsics.shape[0]
+    n = points.shape[0]
+    n_px = H * W
+    assert n < (1 << 22), "packed point id field is 22 bits"
+
+    R = extrinsics[:, :3, :3]  # (T, 3, 3)
+    t = extrinsics[:, :3, 3]  # (T, 3)
+    # (T, N, 3): world -> camera -> pixel, all views at once (MXU batched)
+    pc_cam = jnp.einsum("nd,tkd->tnk", points, R) + t[:, None, :]
+    pc_proj = jnp.einsum("tnk,tmk->tnm", pc_cam, intrinsics)
+
+    z = pc_proj[..., 2]  # (T, N)
+    u = jnp.round(pc_proj[..., 0] / (z + 1e-8)).astype(jnp.int32)
+    v = jnp.round(pc_proj[..., 1] / (z + 1e-8)).astype(jnp.int32)
+    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
+    if valid is not None:
+        ok = ok & valid[None, :]
+
+    # per-view depth range for quantization (masked; degenerate-safe)
+    zmin = jnp.min(jnp.where(ok, z, jnp.inf), axis=1, keepdims=True)
+    zmax = jnp.max(jnp.where(ok, z, -jnp.inf), axis=1, keepdims=True)
+    scale = 1022.0 / jnp.maximum(zmax - zmin, 1e-9)
+    zq = jnp.clip((z - zmin) * scale, 0.0, 1022.0).astype(jnp.uint32)
+
+    pid = jax.lax.broadcasted_iota(jnp.uint32, (T, n), 1)
+    sentinel = jnp.uint32(0xFFFFFFFF)  # > any valid key (zq <= 1022)
+    key = jnp.where(ok, (zq << 22) | pid, sentinel)
+
+    # one flat buffer for all views; invalid points land in their view's
+    # dump slot so shapes stay static under jit
+    view_base = jax.lax.broadcasted_iota(jnp.int32, (T, n), 0) * (n_px + 1)
+    lin = view_base + jnp.where(ok, v * W + u, n_px)
+    buf = jnp.full((T * (n_px + 1),), sentinel, jnp.uint32)
+    buf = buf.at[lin.reshape(-1)].min(key.reshape(-1))
+
+    win = buf.reshape(T, n_px + 1)[:, :n_px]
+    hit = win != sentinel
+    ids = (win & jnp.uint32((1 << 22) - 1)).astype(jnp.int32)
+    c8 = jnp.floor(jnp.clip(colors, 0.0, 255.0))
+    px = jnp.where(
+        hit[..., None],
+        c8[jnp.where(hit, ids, 0)],
+        jnp.asarray(bg, dtype=c8.dtype),
+    )
+    return px.reshape(T, H, W, 3)
 
 
 def project_points_zbuffer_sorted(

@@ -60,6 +60,7 @@ class VideoProcessor:
         compute_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         dpt_chunk: int = 8,
+        zbuffer_impl: Optional[str] = None,
     ):
         self.metrics = metrics
         self.backbone = self._resolve_backbone(backbone, model_name)
@@ -76,6 +77,14 @@ class VideoProcessor:
         # the full-resolution fusion features are the scorer's peak-memory
         # tensor — chunk 2 lets the scorer co-reside with a 5B DiT (VGGT only)
         self.dpt_chunk = dpt_chunk
+        # z-buffer lowering: "packed" (one fused scatter for all views;
+        # winners can flip within a 1/1022 depth quantum — measured 3.19 s ->
+        # sub-second geometry at K=4, tools/onchip_zbuffer_ab.py) is the
+        # production default; "scatter"/"sorted" are the exact lowerings
+        # (VIDEOGPA_ZBUFFER env or the ctor arg selects)
+        self.zbuffer_impl = zbuffer_impl or os.environ.get(
+            "VIDEOGPA_ZBUFFER", "packed"
+        )
         self._forward_cache: Dict[Any, Any] = {}
 
     @staticmethod
@@ -96,7 +105,7 @@ class VideoProcessor:
     def _device_fn(self, conf_thres: float):
         if self.backbone == "da3":
             return self._device_fn_da3(conf_thres)
-        key = ("vggt", conf_thres)
+        key = ("vggt", conf_thres, self.zbuffer_impl)
         if key in self._forward_cache:
             return self._forward_cache[key]
 
@@ -104,6 +113,7 @@ class VideoProcessor:
         compute_dtype = self.compute_dtype
         attn_impl = self.attn_impl
         dpt_chunk = self.dpt_chunk
+        zbuffer_impl = self.zbuffer_impl
 
         @functools.partial(jax.jit, static_argnums=())
         def run(params, images):
@@ -129,7 +139,8 @@ class VideoProcessor:
                 "images": images[0],
             }
             pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
-            reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask)
+            reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask,
+                                     zbuffer_impl=zbuffer_impl)
             return {
                 "reprojected": reproj,  # (S, 3, H, W) in [-1, 1]
                 "extrinsic": extr,
@@ -143,7 +154,7 @@ class VideoProcessor:
     def _device_fn_da3(self, conf_thres: float):
         """DA3 scoring graph (reference ``pipelines/process_video.py:100-166``):
         inference -> unproject depth with c2w -> point cloud -> reproject."""
-        key = ("da3", conf_thres)
+        key = ("da3", conf_thres, self.zbuffer_impl)
         if key in self._forward_cache:
             return self._forward_cache[key]
 
@@ -154,6 +165,7 @@ class VideoProcessor:
         cfg = self.config
         compute_dtype = self.compute_dtype
         attn_impl = self.attn_impl
+        zbuffer_impl = self.zbuffer_impl
 
         @functools.partial(jax.jit, static_argnums=())
         def run(params, images):
@@ -185,7 +197,8 @@ class VideoProcessor:
                 "images": colors,
             }
             pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
-            reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask)
+            reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask,
+                                     zbuffer_impl=zbuffer_impl)
             return {
                 "reprojected": reproj,
                 "extrinsic": extr,
@@ -202,7 +215,7 @@ class VideoProcessor:
         reproject) vmapped over the clip axis. The reference gets clip
         parallelism only from one-process-per-GPU pools; here a single chip
         amortizes the trunk across clips in one program."""
-        key = (self.backbone, conf_thres, "batched", batch)
+        key = (self.backbone, conf_thres, "batched", batch, self.zbuffer_impl)
         if key in self._forward_cache:
             return self._forward_cache[key]
 
@@ -211,6 +224,7 @@ class VideoProcessor:
         attn_impl = self.attn_impl
         backbone = self.backbone
         dpt_chunk = self.dpt_chunk
+        zbuffer_impl = self.zbuffer_impl
 
         from videogpa_tpu.geometry import unproject_depth
         from videogpa_tpu.geometry.transforms import closed_form_inverse_se3
@@ -263,7 +277,8 @@ class VideoProcessor:
                     "images": col_i,
                 }
                 pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
-                return batch_reproject(pts, cols, intr_i, extr_i, H, W, valid=mask)
+                return batch_reproject(pts, cols, intr_i, extr_i, H, W, valid=mask,
+                                       zbuffer_impl=zbuffer_impl)
 
             reproj = jax.vmap(per_clip)(extr, intr, depth, conf, colors)
             return {
@@ -303,7 +318,8 @@ class VideoProcessor:
         """
         names = tuple(n for n in self.metrics if n in self.FUSABLE_METRICS)
         with_lpips = self._fused_lpips_params() is not None
-        key = (self.backbone, conf_thres, "scored", K, names, with_lpips)
+        key = (self.backbone, conf_thres, "scored", K, names, with_lpips,
+               self.zbuffer_impl)
         if key in self._forward_cache:
             return self._forward_cache[key]
 
