@@ -29,6 +29,54 @@ class TestFlashAttention:
         want = mha_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    @pytest.mark.parametrize("n", [257, 300])
+    def test_bnhd_layout_matches_bhnd(self, n):
+        """attention(layout="bnhd") — the inference fast path fed straight
+        from the (B, N, H, D) projection layout — must be BIT-identical to
+        the classic layout on the flash path, and match the reference on
+        the xla fallback."""
+        key = jax.random.PRNGKey(3)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, n, 4, 64), jnp.float32)
+        k = jax.random.normal(kk, (2, n, 4, 64), jnp.float32)
+        v = jax.random.normal(kv, (2, n, 4, 64), jnp.float32)
+        qc, kc, vc = (jnp.transpose(a, (0, 2, 1, 3)) for a in (q, k, v))
+        want = jnp.transpose(
+            attention(qc, kc, vc, impl="flash", block_q=128, block_k=128),
+            (0, 2, 1, 3),
+        )
+        got = attention(q, k, v, impl="flash", block_q=128, block_k=128,
+                        layout="bnhd")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        got_xla = attention(q, k, v, impl="xla", layout="bnhd")
+        np.testing.assert_allclose(
+            np.asarray(got_xla), np.asarray(want), atol=2e-5
+        )
+
+    def test_dit_bnhd_layout_matches_default(self):
+        """dit_forward(attn_layout='bnhd') — the layout used by the
+        inference entry points (pipeline denoise loop, bench) — matches the
+        default layout to float noise."""
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig, dit_init
+        from videogpa_tpu.models.cogvideox.dit import dit_forward
+
+        cfg = CogVideoXConfig.tiny()
+        p = dit_init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (2, cfg.sample_frames, cfg.in_channels,
+             cfg.sample_height, cfg.sample_width),
+        )
+        txt = jax.random.normal(
+            jax.random.PRNGKey(2), (2, cfg.max_text_seq_length, cfg.text_embed_dim)
+        )
+        t = jnp.array([100, 900])
+        a = dit_forward(p, x, txt, t, cfg, attn_impl="flash",
+                        compute_dtype=jnp.float32)
+        b = dit_forward(p, x, txt, t, cfg, attn_impl="flash",
+                        compute_dtype=jnp.float32, attn_layout="bnhd")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
     def test_cross_attention_lengths(self):
         key = jax.random.PRNGKey(1)
         kq, kk, kv = jax.random.split(key, 3)

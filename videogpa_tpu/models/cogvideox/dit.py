@@ -191,6 +191,7 @@ def _joint_attention(
     attn_impl: str,
     lora: Optional[dict] = None,
     lora_scaling: float = 1.0,
+    attn_layout: str = "bhnd",
 ):
     B, N_img, C = hidden.shape
     N_txt = encoder.shape[1]
@@ -203,8 +204,16 @@ def _joint_attention(
             y = y + lora_delta(lora, name, x, lora_scaling)
         return y
 
-    def heads(y):
-        return jnp.transpose(y.reshape(B, -1, H, D), (0, 2, 1, 3))
+    if attn_layout == "bnhd":
+        # inference fast path: stay in the projection-natural (B, N, H, D)
+        # layout all the way into the kernel (attention(layout="bnhd")) —
+        # QK-norm is over D (layout-agnostic) and RoPE broadcasts over the
+        # heads dim; saves two full-tensor transposes per attention
+        def heads(y):
+            return y.reshape(B, -1, H, D)
+    else:
+        def heads(y):
+            return jnp.transpose(y.reshape(B, -1, H, D), (0, 2, 1, 3))
 
     q = heads(proj("to_q"))
     k = heads(proj("to_k"))
@@ -217,15 +226,30 @@ def _joint_attention(
         # concatenate, NOT at[].set(): the dynamic-update-slice form is
         # miscompiled by the SPMD partitioner under a sharded mesh (silently
         # wrong values, reproduced on the CPU mesh in tests/test_parallel.py)
-        q = jnp.concatenate(
-            [q[:, :, :N_txt], apply_rope_interleaved(q[:, :, N_txt:], cos, sin)], axis=2
-        )
-        k = jnp.concatenate(
-            [k[:, :, :N_txt], apply_rope_interleaved(k[:, :, N_txt:], cos, sin)], axis=2
-        )
+        if attn_layout == "bnhd":
+            cos_b, sin_b = cos[:, None], sin[:, None]  # broadcast over H
+            q = jnp.concatenate(
+                [q[:, :N_txt],
+                 apply_rope_interleaved(q[:, N_txt:], cos_b, sin_b)], axis=1
+            )
+            k = jnp.concatenate(
+                [k[:, :N_txt],
+                 apply_rope_interleaved(k[:, N_txt:], cos_b, sin_b)], axis=1
+            )
+        else:
+            q = jnp.concatenate(
+                [q[:, :, :N_txt], apply_rope_interleaved(q[:, :, N_txt:], cos, sin)], axis=2
+            )
+            k = jnp.concatenate(
+                [k[:, :, :N_txt], apply_rope_interleaved(k[:, :, N_txt:], cos, sin)], axis=2
+            )
 
-    o = attention(q, k, v, impl=attn_impl)
-    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, N_txt + N_img, C)
+    if attn_layout == "bnhd":
+        o = attention(q, k, v, impl=attn_impl, layout="bnhd")
+        o = o.reshape(B, N_txt + N_img, C)
+    else:
+        o = attention(q, k, v, impl=attn_impl)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, N_txt + N_img, C)
     out = L.linear(p["to_out"], o)
     if lora is not None and "to_out" in lora:
         out = out + lora_delta(lora, "to_out", o, lora_scaling)
@@ -233,10 +257,11 @@ def _joint_attention(
 
 
 def _block_apply(p, hidden, encoder, temb, cfg, rope, attn_impl,
-                 lora=None, lora_scaling=1.0):
+                 lora=None, lora_scaling=1.0, attn_layout="bhnd"):
     h_n, e_n, gate, e_gate = _adaln_zero(p["norm1"], temb, hidden, encoder)
     attn_h, attn_e = _joint_attention(
-        p["attn1"], h_n, e_n, cfg, rope, attn_impl, lora, lora_scaling
+        p["attn1"], h_n, e_n, cfg, rope, attn_impl, lora, lora_scaling,
+        attn_layout,
     )
     hidden = hidden + gate * attn_h
     encoder = encoder + e_gate * attn_e
@@ -264,6 +289,7 @@ def dit_forward(
     compute_dtype=jnp.bfloat16,
     lora: Optional[dict] = None,
     lora_scaling: float = 1.0,
+    attn_layout: str = "bhnd",
 ) -> jax.Array:
     """CogVideoX DiT forward.
 
@@ -333,7 +359,8 @@ def dit_forward(
         else:
             layer_params, layer_lora = xs, None
         h, e = _block_apply(
-            layer_params, h, e, temb, cfg, rope, attn_impl, layer_lora, lora_scaling
+            layer_params, h, e, temb, cfg, rope, attn_impl, layer_lora,
+            lora_scaling, attn_layout
         )
         return (_seq_shard(h), _seq_shard(e)), None
 

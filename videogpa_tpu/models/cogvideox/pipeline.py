@@ -80,6 +80,10 @@ def denoise_loop(
         v = dit_forward(
             dit_params, model_in, embeds, t_b, cfg,
             ofs=ofs_b, attn_impl=attn_impl, compute_dtype=compute_dtype,
+            # inference-only (B, N, H, D) fast path: feeds the transposed
+            # flash kernel with one transpose per operand instead of two
+            # (attention(layout="bnhd"); falls back harmlessly off-TPU)
+            attn_layout="bnhd",
         )
         v_uncond, v_text = jnp.split(v, 2, axis=0)
         return v_uncond, v_text

@@ -284,6 +284,23 @@ def _flash_fwd_T(q, k, v, n_valid, block_q, block_k, with_lse=True):
         ],
         axis=1,
     )
+    return _flash_fwd_T_pre(qt, k, vt, n_valid, block_q, block_k, with_lse)
+
+
+def _flash_fwd_T_pre(qt, k, vt, n_valid, block_q, block_k, with_lse=True):
+    """Transposed-kernel forward from PRE-LAID-OUT operands.
+
+    qt: (BH, D, N) — q already scaled by D**-0.5 * log2(e) and transposed;
+    vt: (BH, D_aug, Nk) — V^T with the ones denominator row at row D.
+    Exists so a (B, N, H, D)-layout caller (``attention(layout="bnhd")``)
+    can build each operand with ONE transpose instead of the two the
+    classic (B, H, N, D) contract costs (model heads-transpose + the
+    swapaxes above) — ~22 ms/step per eliminated transpose type at
+    CogVideoX-5B geometry.
+    """
+    BH, D, N = qt.shape
+    Nk = k.shape[1]
+    D_aug = vt.shape[1]
 
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
     kernel = functools.partial(
@@ -300,7 +317,7 @@ def _flash_fwd_T(q, k, v, n_valid, block_q, block_k, with_lse=True):
         pl.BlockSpec((1, _LSE_LANES, block_q), lambda b, i, j: (b, 0, i)),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+        jax.ShapeDtypeStruct((BH, N, D), qt.dtype),
         jax.ShapeDtypeStruct((BH, _LSE_LANES, N), jnp.float32),
     ]
     if with_lse:
@@ -355,6 +372,24 @@ def _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k, with_lse=True):
         return o
 
     return jax.lax.cond(jump <= _LAG_CLAMP, lambda o: o, exact, out), None
+
+
+def _flash_fwd_guarded_pre(qt, k, vt, classic_qv, n_valid, block_q, block_k):
+    """Guarded lagged-max forward from pre-laid-out operands (inference
+    only, no lse). ``classic_qv`` lazily rebuilds the classic-layout (q, v)
+    for the exactness fallback — its transposes only execute if the (never
+    reached for trained models) fallback branch is taken."""
+    out, _lse, jump = _flash_fwd_T_pre(
+        qt, k, vt, n_valid, block_q, block_k, with_lse=False
+    )
+    bq_exact = min(block_q, 1024)
+
+    def exact(_):
+        q, v = classic_qv()
+        o, _ = _flash_fwd(q, k, v, n_valid, bq_exact, block_k, False)
+        return o
+
+    return jax.lax.cond(jump <= _LAG_CLAMP, lambda o: o, exact, out)
 
 
 # ---------------------------------------------------------------------------
@@ -928,6 +963,79 @@ _flash.defvjp(
 )
 
 
+def _attention_bnhd(q, k, v, block_q, block_k):
+    """Inference flash attention from (B, N, H, D) operands, D < 128.
+
+    Feeds the transposed lagged-max kernel with each operand built by ONE
+    transpose from the projection-natural layout: qt (BH, D, N) pre-scaled,
+    k (BH, N, D), vt (BH, D_aug, N) with the ones denominator row. Output
+    returns (B, Nq, H, D) so the caller reshapes straight into the out
+    projection. Same block geometry policy as the classic path.
+    """
+    B, Nq, H, D = q.shape
+    Nk = k.shape[1]
+    block_q, block_k = (2048, 1024) if (block_q, block_k) == (1024, 2048) \
+        else (block_q, block_k)
+    bq = min(block_q, _round_up(Nq, 128))
+    bk = min(block_k, _round_up(Nk, 128))
+    if _round_up(Nq, 128) < 4 * block_q:
+        bq = min(bq, 512)
+    if _round_up(Nk, 128) < 4 * block_k:
+        bk = min(bk, 512)
+    Nq_p, Nk_p = _round_up(Nq, bq), _round_up(Nk, bk)
+    scale = D ** -0.5
+    D_aug = _round_up(D + 1, 8)
+
+    def _call(q, k, v):
+        Bl, Hl = q.shape[0], q.shape[2]
+
+        def pad(x, n_to):
+            n = x.shape[1]
+            if n == n_to:
+                return x
+            return jnp.pad(x, ((0, 0), (0, n_to - n), (0, 0), (0, 0)))
+
+        qp, kp, vp = pad(q, Nq_p), pad(k, Nk_p), pad(v, Nk_p)
+        qt = jnp.transpose(
+            (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(qp.dtype),
+            (0, 2, 3, 1),
+        ).reshape(Bl * Hl, D, Nq_p)
+        kk = jnp.transpose(kp, (0, 2, 1, 3)).reshape(Bl * Hl, Nk_p, D)
+        vt = jnp.concatenate(
+            [
+                jnp.transpose(vp, (0, 2, 3, 1)).reshape(Bl * Hl, D, Nk_p),
+                jnp.ones((Bl * Hl, 1, Nk_p), vp.dtype),
+                jnp.zeros((Bl * Hl, D_aug - D - 1, Nk_p), vp.dtype),
+            ],
+            axis=1,
+        )
+
+        def classic_qv():
+            qc = jnp.transpose(qp, (0, 2, 1, 3)).reshape(Bl * Hl, Nq_p, D)
+            vc = jnp.transpose(vp, (0, 2, 1, 3)).reshape(Bl * Hl, Nk_p, D)
+            return qc, vc
+
+        out = _flash_fwd_guarded_pre(qt, kk, vt, classic_qv, Nk, bq, bk)
+        out = out.reshape(Bl, Hl, Nq_p, D)
+        return jnp.transpose(out, (0, 2, 1, 3))[:, :Nq]
+
+    mesh = jax.sharding.get_abstract_mesh()
+    if not mesh.empty:
+        from jax.sharding import PartitionSpec as P
+
+        dp = mesh.shape.get("data", 1)
+        tp = mesh.shape.get("model", 1)
+        if dp > 1 or tp > 1:
+            bspec = "data" if dp > 1 and B % dp == 0 else None
+            hspec = "model" if tp > 1 and H % tp == 0 else None
+            spec = P(bspec, None, hspec, None)
+            return jax.shard_map(
+                _call, mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(q, k, v)
+    return _call(q, k, v)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -935,6 +1043,7 @@ def attention(
     impl: str = "auto",
     block_q: int = 1024,
     block_k: int = 2048,
+    layout: str = "bhnd",
 ) -> jax.Array:
     """Bidirectional multi-head attention.
 
@@ -946,12 +1055,30 @@ def attention(
             kernel at head_dim < 128; at D >= 128 it routes to the exact
             kernel, which measured faster than the int8 variant on-chip),
             or "ring" (sequence-parallel over the mesh).
+        layout: "bhnd" (default, the contract above) or "bnhd" — q/k/v
+            arrive (B, N, num_heads, head_dim), the natural layout out of
+            the qkv projections, and the result returns in the same
+            layout. At D < 128 on TPU (flash) this feeds the transposed
+            kernel with ONE transpose per operand instead of two
+            (heads-transpose + kernel swapaxes), saving ~2 full-tensor HBM
+            round-trips per attention. INFERENCE-ONLY (no vjp); other
+            impls/DTs fall back via an explicit transpose pair.
 
     Returns:
-        (B, num_heads, Nq, head_dim), dtype of q.
+        (B, num_heads, Nq, head_dim) (or (B, Nq, num_heads, head_dim) for
+        layout="bnhd"), dtype of q.
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if layout == "bnhd":
+        if impl == "flash" and q.shape[-1] < 128:
+            return _attention_bnhd(q, k, v, block_q, block_k)
+        out = attention(
+            jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)), impl=impl,
+            block_q=block_q, block_k=block_k,
+        )
+        return jnp.transpose(out, (0, 2, 1, 3))
     if impl == "xla":
         return mha_reference(q, k, v)
     if impl == "ring":
