@@ -297,6 +297,14 @@ def dpt_head_forward(
         (c for c in range(1, min(chunk_size, BS) + 1) if BS % c == 0),
         default=BS,
     )
+    if compute_dtype != jnp.float32:
+        # cast the conv pyramid weights once (fused by XLA); f32 x bf16
+        # would otherwise promote every conv back to f32
+        params = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            params,
+        )
     flat = layer_outputs.reshape(layer_outputs.shape[0], BS, P, C2)
 
     def one_chunk(tokens):  # (depth, chunk, P, C2)

@@ -54,6 +54,7 @@ def vggt_forward(
     query_points=None,
     track_kwargs: dict = None,
     dpt_chunk: int = 8,
+    dpt_dtype=jnp.float32,
 ) -> Dict[str, jax.Array]:
     """Args:
         images: (B, S, 3, H, W) in [0, 1].
@@ -96,14 +97,14 @@ def vggt_forward(
     if "depth_head" in params:
         depth, depth_conf = dpt_head_forward(
             params["depth_head"], layer_outputs, hcfg, (H, W), "exp", "expp1",
-            chunk_size=dpt_chunk,
+            chunk_size=dpt_chunk, compute_dtype=dpt_dtype,
         )
         preds["depth"] = depth
         preds["depth_conf"] = depth_conf
     if "point_head" in params:
         pts, conf = dpt_head_forward(
             params["point_head"], layer_outputs, hcfg, (H, W), "inv_log", "expp1",
-            chunk_size=dpt_chunk,
+            chunk_size=dpt_chunk, compute_dtype=dpt_dtype,
         )
         preds["world_points"] = pts
         preds["world_points_conf"] = conf

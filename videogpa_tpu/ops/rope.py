@@ -38,11 +38,14 @@ def apply_rope_1d(tokens: jax.Array, angles: jax.Array) -> jax.Array:
     return out.astype(dtype)
 
 
-def rope_2d(tokens: jax.Array, positions: jax.Array, base: float = 100.0) -> jax.Array:
+def rope_2d(tokens: jax.Array, positions: jax.Array, base: float = 100.0,
+            layout: str = "bhnd") -> jax.Array:
     """Apply 2D RoPE.
 
     Args:
-        tokens: (B, num_heads, N, D), D divisible by 4.
+        tokens: (B, num_heads, N, D) — or (B, N, num_heads, D) with
+            ``layout="bnhd"`` (the inference fast layout; same math, the
+            angle tables broadcast over the heads axis instead).
         positions: (B, N, 2) integer (y, x) grid positions.
 
     Returns:
@@ -51,8 +54,12 @@ def rope_2d(tokens: jax.Array, positions: jax.Array, base: float = 100.0) -> jax
     D = tokens.shape[-1]
     half = D // 2
     vert, horiz = tokens[..., :half], tokens[..., half:]
-    ang_y = _angles_1d(positions[..., 0], half, base)[:, None]  # (B,1,N,half)
-    ang_x = _angles_1d(positions[..., 1], half, base)[:, None]
+    ang_y = _angles_1d(positions[..., 0], half, base)  # (B, N, half)
+    ang_x = _angles_1d(positions[..., 1], half, base)
+    if layout == "bnhd":
+        ang_y, ang_x = ang_y[:, :, None], ang_x[:, :, None]  # (B,N,1,half)
+    else:
+        ang_y, ang_x = ang_y[:, None], ang_x[:, None]  # (B,1,N,half)
     return jnp.concatenate(
         [apply_rope_1d(vert, ang_y), apply_rope_1d(horiz, ang_x)], axis=-1
     )

@@ -71,11 +71,33 @@ def self_attention(
     cfg: BlockConfig,
     pos: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    attn_layout: str = "bnhd",
 ) -> jax.Array:
-    """x: (B, N, C); pos: optional (B, N, 2) for 2D RoPE."""
+    """x: (B, N, C); pos: optional (B, N, 2) for 2D RoPE.
+
+    attn_layout="bnhd" (default) keeps q/k/v in the projection-natural
+    (B, N, H, D) layout into the kernel (``attention(layout="bnhd")``),
+    replacing the 5D qkv transpose + per-operand kernel transposes with
+    slices + one transpose each. INFERENCE-ONLY on the flash path (no vjp)
+    — every consumer of this block (VGGT, DA3, DINOv2, trackers) is
+    inference in this repo; pass "bhnd" if a block is ever differentiated
+    through on TPU.
+    """
     B, N, C = x.shape
     H = cfg.num_heads
     D = C // H
+
+    if attn_layout == "bnhd":
+        qkv = L.linear(p["qkv"], x).reshape(B, N, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        if "q_norm" in p:
+            q = L.layernorm(p["q_norm"], q)
+            k = L.layernorm(p["k_norm"], k)
+        if pos is not None and cfg.rope_base > 0:
+            q = rope_2d(q, pos, cfg.rope_base, layout="bnhd")
+            k = rope_2d(k, pos, cfg.rope_base, layout="bnhd")
+        o = attention(q, k, v, impl=attn_impl, layout="bnhd").reshape(B, N, C)
+        return L.linear(p["proj"], o)
 
     qkv = L.linear(p["qkv"], x).reshape(B, N, 3, H, D)
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)

@@ -85,6 +85,15 @@ class VideoProcessor:
         self.zbuffer_impl = zbuffer_impl or os.environ.get(
             "VIDEOGPA_ZBUFFER", "packed"
         )
+        # DPT fusion-pyramid dtype: bf16 measured 0.317 -> 0.223 s per head
+        # at K=4 on-chip with rel-L2 drift 3.7e-4 (tools/onchip_dpt_ab.py);
+        # the reference keeps heads f32 (autocast-off) — VIDEOGPA_DPT_BF16=0
+        # restores that for scoring too
+        self.dpt_dtype = (
+            jnp.bfloat16
+            if os.environ.get("VIDEOGPA_DPT_BF16", "1") == "1"
+            else jnp.float32
+        )
         self._forward_cache: Dict[Any, Any] = {}
 
     @staticmethod
@@ -105,7 +114,7 @@ class VideoProcessor:
     def _device_fn(self, conf_thres: float):
         if self.backbone == "da3":
             return self._device_fn_da3(conf_thres)
-        key = ("vggt", conf_thres, self.zbuffer_impl)
+        key = ("vggt", conf_thres, self.zbuffer_impl, self.dpt_dtype)
         if key in self._forward_cache:
             return self._forward_cache[key]
 
@@ -114,6 +123,7 @@ class VideoProcessor:
         attn_impl = self.attn_impl
         dpt_chunk = self.dpt_chunk
         zbuffer_impl = self.zbuffer_impl
+        dpt_dtype = self.dpt_dtype
 
         @functools.partial(jax.jit, static_argnums=())
         def run(params, images):
@@ -126,6 +136,7 @@ class VideoProcessor:
             preds = vggt_forward(
                 params, images, cfg, attn_impl=attn_impl,
                 compute_dtype=compute_dtype, dpt_chunk=dpt_chunk,
+                dpt_dtype=dpt_dtype,
             )
             H, W = images.shape[-2:]
             extr, intr = pose_encoding_to_extri_intri(preds["pose_enc"], (H, W))
@@ -215,7 +226,8 @@ class VideoProcessor:
         reproject) vmapped over the clip axis. The reference gets clip
         parallelism only from one-process-per-GPU pools; here a single chip
         amortizes the trunk across clips in one program."""
-        key = (self.backbone, conf_thres, "batched", batch, self.zbuffer_impl)
+        key = (self.backbone, conf_thres, "batched", batch,
+               self.zbuffer_impl, self.dpt_dtype)
         if key in self._forward_cache:
             return self._forward_cache[key]
 
@@ -225,6 +237,7 @@ class VideoProcessor:
         backbone = self.backbone
         dpt_chunk = self.dpt_chunk
         zbuffer_impl = self.zbuffer_impl
+        dpt_dtype = self.dpt_dtype
 
         from videogpa_tpu.geometry import unproject_depth
         from videogpa_tpu.geometry.transforms import closed_form_inverse_se3
@@ -255,7 +268,7 @@ class VideoProcessor:
             else:
                 preds = vggt_forward(params, images, cfg, attn_impl=attn_impl,
                                      compute_dtype=compute_dtype,
-                                     dpt_chunk=dpt_chunk)
+                                     dpt_chunk=dpt_chunk, dpt_dtype=dpt_dtype)
                 extr, intr = pose_encoding_to_extri_intri(
                     preds["pose_enc"], (H, W)
                 )
@@ -319,7 +332,7 @@ class VideoProcessor:
         names = tuple(n for n in self.metrics if n in self.FUSABLE_METRICS)
         with_lpips = self._fused_lpips_params() is not None
         key = (self.backbone, conf_thres, "scored", K, names, with_lpips,
-               self.zbuffer_impl)
+               self.zbuffer_impl, self.dpt_dtype)
         if key in self._forward_cache:
             return self._forward_cache[key]
 
