@@ -37,6 +37,7 @@ the JSON extras when VIDEOGPA_BENCH_REWARD=1.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -191,11 +192,21 @@ def bench_reward(attn_impl="auto", params=None):
         (K, 10, 3, S, S)).astype(np.float32) * 0.2 + 0.5)
     runs = vp._device_fn_scored(0.0, K)
     lp = vp._fused_lpips_params() or {}
-    jax.block_until_ready(runs(vp.params, lp, images))  # compile
-    t0 = time.perf_counter()
+    # warm up with a HOST PULL, not block_until_ready: the axon backend's
+    # block_until_ready does not reliably block (CLAUDE.md), so the compile
+    # + first-kernel-execution stall (~minutes on a bad tunnel day) would
+    # land inside the timed call (observed: 0.18 clips/min in an otherwise
+    # healthy run). Then time min-of-2 — one stalled dispatch can't own
+    # the reported number.
     sc, _extr = runs(vp.params, lp, images)
-    pulled = {k: np.asarray(v) for k, v in sc.items()}
-    dtb = time.perf_counter() - t0
+    {k: np.asarray(v) for k, v in sc.items()}
+    dtb = float("inf")
+    pulled = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sc, _extr = runs(vp.params, lp, images)
+        pulled = {k: np.asarray(v) for k, v in sc.items()}
+        dtb = min(dtb, time.perf_counter() - t0)
     # per-clip consistency scores of the batched run: the int8 extra uses
     # these for the production-relevant drift signal — DPO consumes only
     # the RANKING of candidate clips (train/dataset.py win/lose pairs), so
@@ -502,6 +513,29 @@ def main():
         _att.INTERPRET = True
     else:
         _enable_compile_cache()
+
+    # Wall-clock discipline: the three north stars (denoise, wan, reward —
+    # BASELINE.json) run FIRST and unconditionally; every extra (int8/W8A8
+    # modes, cog15 flagship) is skipped once the budget is spent, so the
+    # driver's BENCH_r*.json always carries the full exact scoreboard even
+    # on a stall-y tunnel day (first dispatch of a kernel-bearing program
+    # can stall minutes regardless of compile-cache state — CLAUDE.md).
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("VIDEOGPA_BENCH_BUDGET_S", "3900"))
+    skipped = []
+
+    def over_budget(name):
+        if budget_s > 0 and time.perf_counter() - t_start > budget_s:
+            skipped.append(name)
+            print(f"bench: budget spent, skipping extra '{name}'",
+                  file=sys.stderr, flush=True)
+            return True
+        print(f"bench: [{time.perf_counter() - t_start:.0f}s] {name}",
+              file=sys.stderr, flush=True)
+        return False
+
+    # ---- north stars (always run) ----
+    print("bench: [0s] denoise exact", file=sys.stderr, flush=True)
     steps_per_sec, dt = bench_denoise()
     result = {
         "metric": "denoise_steps_per_sec_per_chip",
@@ -513,60 +547,10 @@ def main():
     }
     if _TINY:
         result["tiny"] = True  # smoke-mode shapes; throughput is meaningless
-    # the int8 extra costs a second full compile (~3 min on the remote
-    # compiler); never let it lose the headline number
-    if os.environ.get("VIDEOGPA_BENCH_INT8", "1") == "1":
-        try:
-            sps_i8, dt_i8 = bench_denoise(attn_impl="flash_int8")
-            result["int8_steps_per_sec"] = round(sps_i8, 4)
-            result["int8_step_ms"] = round(dt_i8 * 1000, 1)
-            result["int8_vs_baseline"] = round(sps_i8 / BASELINE_STEPS_PER_SEC, 3)
-        except Exception as e:  # pragma: no cover - environment hiccups
-            result["int8_error"] = str(e)[:200]
-    if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1":
-        try:
-            # full int8 inference mode: W8A8 projections/FFN + int8-QK attn
-            sps_q, dt_q = bench_denoise(attn_impl="flash_int8", w8a8=True)
-            result["w8a8_steps_per_sec"] = round(sps_q, 4)
-            result["w8a8_step_ms"] = round(dt_q * 1000, 1)
-            result["w8a8_vs_baseline"] = round(sps_q / BASELINE_STEPS_PER_SEC, 3)
-        except Exception as e:  # pragma: no cover
-            result["w8a8_error"] = str(e)[:200]
-    if os.environ.get("VIDEOGPA_BENCH_COG15", "1") == "1":
-        # CogVideoX1.5-5B flagship operating point: 81f@768x1360, the longest
-        # sequence in the system (45,106 tokens; generate/CogVideoX1.5-5B.py)
-        import dataclasses as _dc
-
-        from videogpa_tpu.models.cogvideox import CogVideoXConfig
-
-        cfg15 = (
-            _dc.replace(CogVideoXConfig.tiny(), patch_size_t=2)
-            if _TINY else CogVideoXConfig.cogvideox_1_5_5b()
-        )
-        try:
-            # exact bf16 runs the CFG pair sequentially: the batched pair
-            # needs 16.82 GiB HBM (AOT memory_analysis), over one v5e
-            sps15, dt15 = bench_denoise(cfg=cfg15, cfg_pair=False)
-            result["cog15_steps_per_sec"] = round(sps15, 4)
-            result["cog15_step_ms"] = round(dt15 * 1000, 1)
-            result["cog15_vs_baseline"] = round(
-                sps15 / COG15_BASELINE_STEPS_PER_SEC, 3
-            )
-        except Exception as e:  # pragma: no cover
-            result["cog15_error"] = str(e)[:200]
-        if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1":
-            try:
-                sps15q, dt15q = bench_denoise(
-                    attn_impl="flash_int8", w8a8=True, cfg=cfg15
-                )
-                result["cog15_w8a8_steps_per_sec"] = round(sps15q, 4)
-                result["cog15_w8a8_vs_baseline"] = round(
-                    sps15q / COG15_BASELINE_STEPS_PER_SEC, 3
-                )
-            except Exception as e:  # pragma: no cover
-                result["cog15_w8a8_error"] = str(e)[:200]
     if os.environ.get("VIDEOGPA_BENCH_WAN", "1") == "1":
         try:
+            print(f"bench: [{time.perf_counter() - t_start:.0f}s] wan exact",
+                  file=sys.stderr, flush=True)
             wan_sps = bench_wan()
             result["wan_steps_per_sec"] = round(wan_sps, 4)
             result["wan_vs_baseline"] = round(
@@ -574,18 +558,11 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             result["wan_error"] = str(e)[:200]
-        if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1":
-            try:
-                # Wan production int8 inference mode (W8A8 GEMMs + int8-QK)
-                wan_q = bench_wan(attn_impl="flash_int8", w8a8=True)
-                result["wan_w8a8_steps_per_sec"] = round(wan_q, 4)
-                result["wan_w8a8_vs_baseline"] = round(
-                    wan_q / WAN_BASELINE_STEPS_PER_SEC, 3
-                )
-            except Exception as e:  # pragma: no cover
-                result["wan_w8a8_error"] = str(e)[:200]
+    scores = per_clip = None
     if os.environ.get("VIDEOGPA_BENCH_REWARD", "1") == "1":
         try:
+            print(f"bench: [{time.perf_counter() - t_start:.0f}s] reward exact",
+                  file=sys.stderr, flush=True)
             single, batched, scores, per_clip = bench_reward()
             result["reward_clips_per_min"] = round(single, 2)
             result["reward_clips_per_min_batched"] = round(batched, 2)
@@ -594,10 +571,51 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             result["reward_error"] = str(e)[:200]
-            scores = None
+
+    # ---- extras (budget-gated, priority order) ----
+    # the int8 extra costs a second full compile (~3 min on the remote
+    # compiler); never let it lose the headline number
+    if os.environ.get("VIDEOGPA_BENCH_INT8", "1") == "1" and not over_budget(
+        "denoise int8"
+    ):
         try:
-            if os.environ.get("VIDEOGPA_BENCH_INT8", "1") != "1":
-                raise _SkipExtra  # same off switch as the other int8 extras
+            sps_i8, dt_i8 = bench_denoise(attn_impl="flash_int8")
+            result["int8_steps_per_sec"] = round(sps_i8, 4)
+            result["int8_step_ms"] = round(dt_i8 * 1000, 1)
+            result["int8_vs_baseline"] = round(sps_i8 / BASELINE_STEPS_PER_SEC, 3)
+        except Exception as e:  # pragma: no cover - environment hiccups
+            result["int8_error"] = str(e)[:200]
+    if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1" and not over_budget(
+        "denoise w8a8"
+    ):
+        try:
+            # full int8 inference mode: W8A8 projections/FFN + int8-QK attn
+            sps_q, dt_q = bench_denoise(attn_impl="flash_int8", w8a8=True)
+            result["w8a8_steps_per_sec"] = round(sps_q, 4)
+            result["w8a8_step_ms"] = round(dt_q * 1000, 1)
+            result["w8a8_vs_baseline"] = round(sps_q / BASELINE_STEPS_PER_SEC, 3)
+        except Exception as e:  # pragma: no cover
+            result["w8a8_error"] = str(e)[:200]
+    if (
+        os.environ.get("VIDEOGPA_BENCH_WAN", "1") == "1"
+        and os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1"
+        and not over_budget("wan w8a8")
+    ):
+        try:
+            # Wan production int8 inference mode (W8A8 GEMMs + int8-QK)
+            wan_q = bench_wan(attn_impl="flash_int8", w8a8=True)
+            result["wan_w8a8_steps_per_sec"] = round(wan_q, 4)
+            result["wan_w8a8_vs_baseline"] = round(
+                wan_q / WAN_BASELINE_STEPS_PER_SEC, 3
+            )
+        except Exception as e:  # pragma: no cover
+            result["wan_w8a8_error"] = str(e)[:200]
+    if (
+        os.environ.get("VIDEOGPA_BENCH_REWARD", "1") == "1"
+        and os.environ.get("VIDEOGPA_BENCH_INT8", "1") == "1"
+        and not over_budget("reward int8")
+    ):
+        try:
             if scores is None:
                 raise RuntimeError("exact reward bench failed")
             # int8-QK scoring mode + score drift vs exact on the same frames
@@ -621,10 +639,47 @@ def main():
                 result["reward_int8_rank_agreement"] = bool(
                     np.array_equal(np.argsort(a), np.argsort(b))
                 )
-        except _SkipExtra:
-            pass
         except Exception as e:  # pragma: no cover
             result["reward_int8_error"] = str(e)[:200]
+    if os.environ.get("VIDEOGPA_BENCH_COG15", "1") == "1" and not over_budget(
+        "cog15"
+    ):
+        # CogVideoX1.5-5B flagship operating point: 81f@768x1360, the longest
+        # sequence in the system (45,106 tokens; generate/CogVideoX1.5-5B.py)
+        import dataclasses as _dc
+
+        from videogpa_tpu.models.cogvideox import CogVideoXConfig
+
+        cfg15 = (
+            _dc.replace(CogVideoXConfig.tiny(), patch_size_t=2)
+            if _TINY else CogVideoXConfig.cogvideox_1_5_5b()
+        )
+        try:
+            # exact bf16 runs the CFG pair sequentially: the batched pair
+            # needs 16.82 GiB HBM (AOT memory_analysis), over one v5e
+            sps15, dt15 = bench_denoise(cfg=cfg15, cfg_pair=False)
+            result["cog15_steps_per_sec"] = round(sps15, 4)
+            result["cog15_step_ms"] = round(dt15 * 1000, 1)
+            result["cog15_vs_baseline"] = round(
+                sps15 / COG15_BASELINE_STEPS_PER_SEC, 3
+            )
+        except Exception as e:  # pragma: no cover
+            result["cog15_error"] = str(e)[:200]
+        if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1" and not over_budget(
+            "cog15 w8a8"
+        ):
+            try:
+                sps15q, dt15q = bench_denoise(
+                    attn_impl="flash_int8", w8a8=True, cfg=cfg15
+                )
+                result["cog15_w8a8_steps_per_sec"] = round(sps15q, 4)
+                result["cog15_w8a8_vs_baseline"] = round(
+                    sps15q / COG15_BASELINE_STEPS_PER_SEC, 3
+                )
+            except Exception as e:  # pragma: no cover
+                result["cog15_w8a8_error"] = str(e)[:200]
+    if skipped:
+        result["budget_skipped"] = skipped
     if os.environ.get("VIDEOGPA_BENCH_TRAIN") == "1":
         try:
             tps, tdt, scale = bench_train()

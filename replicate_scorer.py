@@ -49,6 +49,13 @@ def build_score_config():
         # production int8 scoring: W8A8 trunk GEMMs + int8-QK attention.
         # Scoring only RANKS candidates (the most quantization-tolerant
         # consumer); measured trunk cosine >0.999 vs exact per family.
+        # Caveat: the rank-agreement evidence (bench.py
+        # reward_int8_rank_agreement) is measured on RANDOM weights + noise
+        # frames — absolute consistency-score drift is chaotic there (top-k
+        # masks / z-buffer winners flip discontinuously), and ranking
+        # behavior on trained checkpoints may differ; validate against a
+        # small exact-scored subset before trusting int8 for production
+        # preference pairs. Off by default.
         "int8": parse_bool_env("SCORE_INT8", False),
     }
 
