@@ -32,9 +32,11 @@ class TestFlashAttention:
     @pytest.mark.parametrize("n", [257, 300])
     def test_bnhd_layout_matches_bhnd(self, n):
         """attention(layout="bnhd") — the inference fast path fed straight
-        from the (B, N, H, D) projection layout — must be BIT-identical to
-        the classic layout on the flash path, and match the reference on
-        the xla fallback."""
+        from the (B, N, H, D) projection layout. At short key rows it
+        routes to the one-shot full-softmax kernel (_flash_short), which is
+        numerically exact but not bit-identical to the lagged-max kernel
+        (different reduction order), so compare with a tight tolerance; the
+        xla fallback must also match."""
         key = jax.random.PRNGKey(3)
         kq, kk, kv = jax.random.split(key, 3)
         q = jax.random.normal(kq, (2, n, 4, 64), jnp.float32)
@@ -47,11 +49,63 @@ class TestFlashAttention:
         )
         got = attention(q, k, v, impl="flash", block_q=128, block_k=128,
                         layout="bnhd")
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=1e-5)
         got_xla = attention(q, k, v, impl="xla", layout="bnhd")
         np.testing.assert_allclose(
             np.asarray(got_xla), np.asarray(want), atol=2e-5
         )
+
+    @pytest.mark.parametrize("nq,nk", [(300, 300), (1374, 1374), (64, 500)])
+    def test_flash_short_matches_reference(self, nq, nk):
+        """The short-seq native-bnhd kernel vs the XLA oracle, incl. a
+        cross-attention (nq != nk) shape and a non-128-multiple key row
+        (padding mask path)."""
+        from videogpa_tpu.ops.attention import _flash_short
+
+        key = jax.random.PRNGKey(5)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, nq, 4, 64), jnp.float32)
+        k = jax.random.normal(kk, (2, nk, 4, 64), jnp.float32)
+        v = jax.random.normal(kv, (2, nk, 4, 64), jnp.float32)
+        got = _flash_short(q, k, v, nk)
+        want = jnp.transpose(
+            mha_reference(*(jnp.transpose(a, (0, 2, 1, 3)) for a in (q, k, v))),
+            (0, 2, 1, 3),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=1e-5)
+
+    def test_flash_short_n_valid_mask(self):
+        """n_valid < Nk must mask trailing key rows exactly like slicing
+        them away."""
+        from videogpa_tpu.ops.attention import _flash_short
+
+        key = jax.random.PRNGKey(7)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 200, 2, 64), jnp.float32)
+        k = jax.random.normal(kk, (1, 256, 2, 64), jnp.float32)
+        v = jax.random.normal(kv, (1, 256, 2, 64), jnp.float32)
+        got = _flash_short(q, k, v, 200)
+        want = _flash_short(q, k[:, :200], v[:, :200], 200)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=1e-5)
+
+    def test_flash_short_bf16(self):
+        from videogpa_tpu.ops.attention import _flash_short
+
+        key = jax.random.PRNGKey(9)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, 300, 4, 64), jnp.bfloat16)
+        k = jax.random.normal(kk, (2, 300, 4, 64), jnp.bfloat16)
+        v = jax.random.normal(kv, (2, 300, 4, 64), jnp.bfloat16)
+        got = _flash_short(q, k, v, 300).astype(jnp.float32)
+        want = jnp.transpose(
+            mha_reference(*(jnp.transpose(a, (0, 2, 1, 3)) for a in (q, k, v))),
+            (0, 2, 1, 3),
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, rtol=2e-2)
 
     def test_dit_bnhd_layout_matches_default(self):
         """dit_forward(attn_layout='bnhd') — the layout used by the

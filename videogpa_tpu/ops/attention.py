@@ -393,6 +393,108 @@ def _flash_fwd_guarded_pre(qt, k, vt, classic_qv, n_valid, block_q, block_k):
 
 
 # ---------------------------------------------------------------------------
+# Short-sequence full-softmax kernel, native bnhd layout (inference-only)
+# ---------------------------------------------------------------------------
+#
+# At VGGT frame-attention geometry (40 seqs x 1374 tokens, 16 heads x D=64)
+# the transposed lagged-max path runs at 22-23 TF/s end to end while the same
+# kernel hits 82.7 at seq 13740 (tools/onchip_agg_split.py). On-chip
+# decomposition (tools/onchip_short_attn.py): ~60% is the kernel itself —
+# with a single kv block the lagged trick degenerates to the stalled
+# max->exp->PV chain — and ~40% is the operand layout tax (qt/vt transposes
+# + out transpose), which amortizes at long seq but not here. This kernel
+# removes the layout tax entirely: BlockSpecs read q/k/v straight out of the
+# (B, N, H*D) projection layout (no materialized transpose anywhere), each
+# program holds ONE q block x the ENTIRE key row x ALL H heads (per-head 4D
+# blocking is not expressible — Mosaic requires the last two block dims to
+# divide (8, 128) or equal the array dims), and softmax is one-shot exact
+# (full row in VMEM, no online rescaling). The in-kernel heads loop also
+# lets head h+1's QK^T issue on the MXU while head h's softmax runs on the
+# VPU. Measured at the frame shape: 8.46 ms vs 13.47 dispatch-today (1.6x),
+# bit-exact err vs the XLA oracle at bf16 resolution.
+
+
+def _flash_short(q, k, v, n_valid, block_q=512):
+    """Full-softmax bnhd attention for short key rows. q, k, v: (B, N, H, D);
+    returns (B, Nq, H, D). Inference-only (no vjp)."""
+    B, Nq, H, D = q.shape
+    Nk = k.shape[1]
+    Nk_pad = _round_up(Nk, 128)
+    bq = min(block_q, _round_up(Nq, 128))
+    C = H * D
+    scale = D ** -0.5
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        kt = k_ref[0]  # (Nk_pad, C)
+        vt = v_ref[0]
+        masked = Nk_pad != Nk or n_valid != Nk
+        if masked:
+            # overwrite-mask (not additive): out-of-bounds block reads are
+            # undefined, so padded k/v rows may hold NaN/Inf
+            row = jax.lax.broadcasted_iota(jnp.int32, (Nk_pad, 1), 0)
+            vt = jnp.where(row < n_valid, vt, 0)
+        outs = []
+        for h in range(H):
+            qh = q_ref[0, :, h * D:(h + 1) * D]  # (bq, D) lane slice
+            kh = kt[:, h * D:(h + 1) * D]
+            # s^T (Nk, bq) = K Q^T — D-deep contraction, full output lanes
+            s = jax.lax.dot_general(
+                kh, qh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * (scale * _LOG2E)
+            if masked:
+                rr = jax.lax.broadcasted_iota(jnp.int32, (Nk_pad, 1), 0)
+                s = jnp.where(rr < n_valid, s, _NEG_INF)
+            m = jnp.max(s, axis=0, keepdims=True)  # (1, bq)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=0, keepdims=True)
+            # acc (D, bq) = V^T P — sublane-sublane contraction
+            acc = jax.lax.dot_general(
+                vt[:, h * D:(h + 1) * D], p.astype(v.dtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append((acc / l).T.astype(o_ref.dtype))
+        o_ref[0] = jnp.concatenate(outs, axis=1)  # (bq, C) lane concat
+
+    grid = (B, pl.cdiv(Nq, bq))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Nk_pad, C), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # k/v stay resident across q blocks and all H heads' score tiles
+            # pipeline through — worth more than the 16 MB default scoped
+            # limit (v5e has 128 MB of VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(q.reshape(B, Nq, C), k.reshape(B, Nk, C), v.reshape(B, Nk, C))
+    return out.reshape(B, Nq, H, D)
+
+
+# short-kernel eligibility: the whole key row (k and v) must sit in VMEM
+_SHORT_SEQ_MAX = 2048
+_SHORT_KV_VMEM_MAX = 16 * 1024 * 1024
+
+
+def _short_eligible(Nk, H, D, itemsize):
+    Nk_pad = _round_up(Nk, 128)
+    return (
+        Nk_pad <= _SHORT_SEQ_MAX
+        and 2 * Nk_pad * H * D * itemsize <= _SHORT_KV_VMEM_MAX
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 QK^T variant (SageAttention-style, inference-only)
 # ---------------------------------------------------------------------------
 #
@@ -988,6 +1090,12 @@ def _attention_bnhd(q, k, v, block_q, block_k):
 
     def _call(q, k, v):
         Bl, Hl = q.shape[0], q.shape[2]
+
+        if _short_eligible(Nk, Hl, D, q.dtype.itemsize):
+            # short key rows: the one-shot native-layout kernel skips the
+            # qt/vt/out transposes AND the (degenerate, stalled) single-kv-
+            # block lagged path — measured 1.6x at VGGT frame attention
+            return _flash_short(q, k, v, Nk)
 
         def pad(x, n_to):
             n = x.shape[1]
