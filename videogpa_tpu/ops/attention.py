@@ -1181,6 +1181,18 @@ def attention(
     if layout == "bnhd":
         if impl == "flash" and q.shape[-1] < 128:
             return _attention_bnhd(q, k, v, block_q, block_k)
+        if (
+            impl == "flash_int8"
+            and q.shape[-1] < 128
+            and _short_eligible(k.shape[1], q.shape[2], q.shape[-1],
+                                q.dtype.itemsize)
+        ):
+            # int8-QK pays off on LONG D<64..128 rows (QK^T-bound); at short
+            # key rows the layout tax + one-shot stall dominate, and the
+            # exact native-layout kernel is faster than the int8 lagged
+            # path — same "int8 only where int8 wins" dispatch rule as the
+            # D >= 128 exact routing (ARCHITECTURE.md)
+            return _flash_short(q, k, v, k.shape[1])
         out = attention(
             jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
             jnp.transpose(v, (0, 2, 1, 3)), impl=impl,
