@@ -67,3 +67,34 @@ def test_bench_tiny_cpu_end_to_end():
         assert "vs_baseline" in result[block], (block, result[block])
     errors = {k: v for k, v in result.items() if k.endswith("_error")}
     assert not errors, errors
+
+
+def test_bench_budget_gates_extras_not_north_stars():
+    """With a zero budget the extras (int8/W8A8/cog15) must be skipped and
+    recorded, while the three north stars still run — the driver's
+    BENCH_r*.json must carry the exact scoreboard even on a stall day."""
+    env = dict(os.environ)
+    env.update(
+        VIDEOGPA_BENCH_TINY="1",
+        VIDEOGPA_BENCH_CPU="1",
+        VIDEOGPA_BENCH_BUDGET_S="0.000001",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    # north stars present
+    assert result["value"] > 0
+    assert result["wan_steps_per_sec"] > 0
+    assert result["reward_clips_per_min_batched"] > 0
+    # extras gated and recorded
+    assert "int8_steps_per_sec" not in result
+    assert "w8a8_steps_per_sec" not in result
+    assert "cog15_steps_per_sec" not in result
+    assert "denoise int8" in result.get("budget_skipped", []), result
