@@ -156,6 +156,40 @@ class TestFlashAttention:
         want = mha_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    def test_transposed_stall_fallback_on_extreme_logits(self):
+        """The bnhd (pre-laid-operand) guard's fallback is the clamp-free
+        STALLING transposed kernel — same qt/k/vt operands, no classic-
+        layout rebuild (the old rebuild cost ~2.1 GiB of 2x-lane-padded
+        branch buffers at the CogVideoX1.5 flagship shape). Exercise the
+        fallback directly with a beyond-clamp logit jump."""
+        from videogpa_tpu.ops.attention import (
+            _LOG2E,
+            _flash_fwd_guarded_pre,
+            _round_up,
+        )
+
+        key = jax.random.PRNGKey(11)
+        kq, kk, kv = jax.random.split(key, 3)
+        BH, N, D = 2, 300, 64
+        q = jax.random.normal(kq, (BH, N, D), jnp.float32)
+        k = jax.random.normal(kk, (BH, N, D), jnp.float32)
+        v = jax.random.normal(kv, (BH, N, D), jnp.float32)
+        k = k.at[:, -1, :].set(40.0)  # beyond-clamp jump in the last block
+
+        Np = _round_up(N, 128)
+        pad = ((0, 0), (0, Np - N), (0, 0))
+        qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        scale = D ** -0.5
+        qt = jnp.swapaxes(qp * (scale * _LOG2E), 1, 2)
+        D_aug = _round_up(D + 1, 8)
+        vt = jnp.concatenate(
+            [jnp.swapaxes(vp, 1, 2), jnp.ones((BH, 1, Np), vp.dtype),
+             jnp.zeros((BH, D_aug - D - 1, Np), vp.dtype)], axis=1)
+        got = _flash_fwd_guarded_pre(qt, kp, vt, N, 128, 128)[:, :N]
+        want = mha_reference(q[None], k[None], v[None])[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
     @pytest.mark.parametrize("n", [256, 300])
     def test_head_dim_128_matches_reference(self, n):
         """The lane-full (D = 128) path — the Wan geometry — vs the XLA

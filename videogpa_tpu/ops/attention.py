@@ -374,20 +374,97 @@ def _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k, with_lse=True):
     return jax.lax.cond(jump <= _LAG_CLAMP, lambda o: o, exact, out), None
 
 
-def _flash_fwd_guarded_pre(qt, k, vt, classic_qv, n_valid, block_q, block_k):
+def _fwd_kernel_T_stall(qt_ref, k_ref, vt_ref, o_ref, acc, m_s,
+                        *, n_valid, block_k, head_dim):
+    """Transposed-layout ONLINE-softmax forward (no lag, no clamp): exact
+    for any input magnitude. This is the exactness fallback behind the
+    lagged kernel's 2^110 clamp guard — it stalls on max->exp like the
+    classic kernel, but consumes the SAME qt/k/vt operands, so the guard
+    costs zero extra HBM. (The previous fallback rebuilt classic-layout
+    (q, v): at the CogVideoX1.5 flagship shape those branch buffers alone
+    were ~2.1 GiB of 2x-lane-padded dead weight — D=64 minor pads to 128 —
+    and AOT-OOMed the batched CFG pair.)"""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    s = jax.lax.dot_general(
+        k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BK, BQ)
+    if n_valid % block_k != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) + j * block_k
+        s = s + jnp.where(row < n_valid, 0.0, _NEG_INF)
+    m_loc = jnp.max(s, axis=0, keepdims=True)  # (1, BQ)
+
+    @pl.when(j == 0)
+    def _():
+        p = jnp.exp2(s - m_loc)
+        acc[:] = jax.lax.dot_general(
+            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_s[0:1] = m_loc
+
+    @pl.when(j > 0)
+    def _():
+        m_prev = m_s[0:1]
+        m_new = jnp.maximum(m_prev, m_loc)
+        p = jnp.exp2(s - m_new)
+        pv = jax.lax.dot_general(
+            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[:] = acc[:] * jnp.exp2(m_prev - m_new) + pv
+        m_s[0:1] = m_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
+        o_ref[0] = (acc[:head_dim] / l).T.astype(o_ref.dtype)
+
+
+def _flash_fwd_T_stall_pre(qt, k, vt, n_valid, block_q, block_k):
+    """Exact (clamp-free) transposed forward from pre-laid-out operands."""
+    BH, D, N = qt.shape
+    Nk = k.shape[1]
+    D_aug = vt.shape[1]
+    grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
+    kernel = functools.partial(
+        _fwd_kernel_T_stall, n_valid=n_valid, block_k=block_k, head_dim=D,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, D_aug, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, N, D), qt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((D_aug, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(qt, k, vt)
+
+
+def _flash_fwd_guarded_pre(qt, k, vt, n_valid, block_q, block_k):
     """Guarded lagged-max forward from pre-laid-out operands (inference
-    only, no lse). ``classic_qv`` lazily rebuilds the classic-layout (q, v)
-    for the exactness fallback — its transposes only execute if the (never
-    reached for trained models) fallback branch is taken."""
+    only, no lse). The exactness fallback reruns the SAME operands through
+    the clamp-free stalling transposed kernel — the branch is unreachable
+    for trained models (needs a 2^110 attention-weight ratio between kv
+    blocks) and costs no extra HBM."""
     out, _lse, jump = _flash_fwd_T_pre(
         qt, k, vt, n_valid, block_q, block_k, with_lse=False
     )
-    bq_exact = min(block_q, 1024)
 
     def exact(_):
-        q, v = classic_qv()
-        o, _ = _flash_fwd(q, k, v, n_valid, bq_exact, block_k, False)
-        return o
+        return _flash_fwd_T_stall_pre(qt, k, vt, n_valid, block_q, block_k)
 
     return jax.lax.cond(jump <= _LAG_CLAMP, lambda o: o, exact, out)
 
@@ -1118,12 +1195,7 @@ def _attention_bnhd(q, k, v, block_q, block_k):
             axis=1,
         )
 
-        def classic_qv():
-            qc = jnp.transpose(qp, (0, 2, 1, 3)).reshape(Bl * Hl, Nq_p, D)
-            vc = jnp.transpose(vp, (0, 2, 1, 3)).reshape(Bl * Hl, Nk_p, D)
-            return qc, vc
-
-        out = _flash_fwd_guarded_pre(qt, kk, vt, classic_qv, Nk, bq, bk)
+        out = _flash_fwd_guarded_pre(qt, kk, vt, Nk, bq, bk)
         out = out.reshape(Bl, Hl, Nq_p, D)
         return jnp.transpose(out, (0, 2, 1, 3))[:, :Nq]
 
