@@ -64,10 +64,6 @@ REWARD_BASELINE_CLIPS_PER_MIN = 40.0  # ~1.5 s/clip reference pipeline on A100
 COG15_BASELINE_STEPS_PER_SEC = 0.033
 
 
-class _SkipExtra(Exception):
-    """Raised inside an extras block to skip it without recording an error."""
-
-
 def _enable_compile_cache():
     """Persistent XLA compile cache: the remote (axon) compiler takes minutes
     per program; cached recompiles are near-instant across processes."""

@@ -334,9 +334,11 @@ class TestClosedLoopDPO:
         win_lats = jnp.stack([p[0][0] for p in pairs])
 
         def dist_to_wins(video):
+            # min over the G win latents: lat is (1, C, F, h, w) and
+            # broadcasts against win_lats (G, C, F, h, w)
             lat = enc(to_uint8(video))
             return float(jnp.min(jnp.mean(
-                (win_lats - lat[None]) ** 2, axis=(1, 2, 3, 4, 5)
+                (win_lats - lat) ** 2, axis=(1, 2, 3, 4)
             )))
 
         pre_d, post_d, post_s = [], [], []
@@ -348,7 +350,7 @@ class TestClosedLoopDPO:
                 post_d.append(dist_to_wins(v_post))
                 post_s.append(score_frames(to_uint8(v_post)))
         # assertion 3: the policy's samples moved toward the preferred
-        # (win) distribution (measured 0.219 -> 0.199 at this config)
+        # (win) distribution — min-MSE to the nearest win latent drops
         assert np.mean(post_d) < np.mean(pre_d) - 0.005, (
             np.mean(pre_d), np.mean(post_d))
         # assertion 4: post-DPO samples score better than the REJECTED

@@ -294,6 +294,35 @@ class TestFlashAttention:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
+    def test_gradients_on_extreme_logits_use_stall_fallback_lse(self):
+        """Training path through the exactness guard: a beyond-clamp logit
+        jump routes the vjp FORWARD through the transposed stalling kernel's
+        with_lse output, which the backward recomputation consumes — the
+        gradients must still match the XLA oracle."""
+        key = jax.random.PRNGKey(13)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 300, 64))
+        k = jax.random.normal(kk, (1, 2, 300, 64))
+        v = jax.random.normal(kv, (1, 2, 300, 64))
+        # huge key in the LAST kv block: the lagged running max from earlier
+        # blocks underestimates by far more than the 2^110 clamp
+        k = k.at[:, :, -1, :].set(40.0)
+
+        def loss_flash(q, k, v):
+            o = attention(q, k, v, impl="flash", block_q=128, block_k=128)
+            return jnp.sum(o * o)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            # rtol for the planted huge-key rows (grad magnitudes ~1e2)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-5
+            )
+
     def test_bf16_forward(self):
         key = jax.random.PRNGKey(3)
         q = jax.random.normal(key, (1, 2, 256, 64), jnp.bfloat16)

@@ -266,7 +266,10 @@ def _fwd_kernel_T(qt_ref, k_ref, vt_ref, o_ref, jump_ref, lse_ref, acc, m_s,
 
 
 def _flash_fwd_T(q, k, v, n_valid, block_q, block_k, with_lse=True):
-    """Transposed lagged-max forward; returns (out, lse, max_jump)."""
+    """Transposed lagged-max forward; returns (out, lse, max_jump, qt, vt).
+
+    qt/vt are returned so the exactness guard can rerun the SAME operands
+    through the stalling transposed kernel without rebuilding them."""
     BH, N, D = q.shape
     Nk = k.shape[1]
     scale = D ** -0.5
@@ -284,7 +287,10 @@ def _flash_fwd_T(q, k, v, n_valid, block_q, block_k, with_lse=True):
         ],
         axis=1,
     )
-    return _flash_fwd_T_pre(qt, k, vt, n_valid, block_q, block_k, with_lse)
+    out, lse, jump = _flash_fwd_T_pre(
+        qt, k, vt, n_valid, block_q, block_k, with_lse
+    )
+    return out, lse, jump, qt, vt
 
 
 def _flash_fwd_T_pre(qt, k, vt, n_valid, block_q, block_k, with_lse=True):
@@ -355,27 +361,33 @@ def _flash_fwd_T_pre(qt, k, vt, n_valid, block_q, block_k, with_lse=True):
 def _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k, with_lse=True):
     """Lagged-max fast path with an exactness guard: if any block-to-block
     max jump exceeded the clamp (never for trained models), recompute with
-    the classic stalling kernel."""
-    out, lse, jump = _flash_fwd_T(q, k, v, n_valid, block_q, block_k, with_lse)
-    # the classic kernel's s-tile VMEM budget caps its q block at 1024
-    bq_exact = min(block_q, 1024)
+    the clamp-free transposed STALLING kernel on the SAME qt/k/vt operands,
+    so the guard costs zero extra HBM. (The fallback used to rebuild the
+    classic-layout (q, v_in) operands: D=64 minor pads to 128 lanes there,
+    and at CogVideoX1.5 flagship scale those branch buffers alone were
+    ~2.1 GiB of dead weight — the failure mode that AOT-OOMed the batched
+    CFG pair before ``_flash_fwd_guarded_pre`` got the same fix.)"""
+    out, lse, jump, qt, vt = _flash_fwd_T(
+        q, k, v, n_valid, block_q, block_k, with_lse
+    )
     if with_lse:
         def exact(_):
-            return _flash_fwd(q, k, v, n_valid, bq_exact, block_k, True)
+            return _flash_fwd_T_stall_pre(
+                qt, k, vt, n_valid, block_q, block_k, with_lse=True
+            )
 
         return jax.lax.cond(
             jump <= _LAG_CLAMP, lambda ol: ol, exact, (out, lse)
         )
 
     def exact(_):
-        o, _ = _flash_fwd(q, k, v, n_valid, bq_exact, block_k, False)
-        return o
+        return _flash_fwd_T_stall_pre(qt, k, vt, n_valid, block_q, block_k)
 
     return jax.lax.cond(jump <= _LAG_CLAMP, lambda o: o, exact, out), None
 
 
-def _fwd_kernel_T_stall(qt_ref, k_ref, vt_ref, o_ref, acc, m_s,
-                        *, n_valid, block_k, head_dim):
+def _fwd_kernel_T_stall(qt_ref, k_ref, vt_ref, o_ref, lse_ref, acc, m_s,
+                        *, n_valid, block_k, head_dim, with_lse):
     """Transposed-layout ONLINE-softmax forward (no lag, no clamp): exact
     for any input magnitude. This is the exactness fallback behind the
     lagged kernel's 2^110 clamp guard — it stalls on max->exp like the
@@ -421,34 +433,69 @@ def _fwd_kernel_T_stall(qt_ref, k_ref, vt_ref, o_ref, acc, m_s,
     def _():
         l = jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
         o_ref[0] = (acc[:head_dim] / l).T.astype(o_ref.dtype)
+        if with_lse:
+            lse = (m_s[0:1] + jnp.log2(l)) * _LN2  # (1, BQ)
+            lse_ref[0] = jnp.broadcast_to(lse.T, lse_ref.shape[1:])
 
 
-def _flash_fwd_T_stall_pre(qt, k, vt, n_valid, block_q, block_k):
-    """Exact (clamp-free) transposed forward from pre-laid-out operands."""
+def _flash_fwd_T_stall_pre(qt, k, vt, n_valid, block_q, block_k,
+                           with_lse=False):
+    """Exact (clamp-free) transposed forward from pre-laid-out operands.
+
+    Returns ``out`` (``with_lse=False``) or ``(out, lse)`` — the lse output
+    matches the lagged kernel's (BH, N, _LSE_LANES) f32 layout so the two
+    can sit on the branches of one ``lax.cond``."""
     BH, D, N = qt.shape
     Nk = k.shape[1]
     D_aug = vt.shape[1]
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
     kernel = functools.partial(
         _fwd_kernel_T_stall, n_valid=n_valid, block_k=block_k, head_dim=D,
+        with_lse=with_lse,
     )
+    in_specs = [
+        pl.BlockSpec((1, D, block_q), lambda b, i, j: (b, 0, i)),
+        pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, D_aug, block_k), lambda b, i, j: (b, 0, j)),
+    ]
+    o_spec = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
+    o_shape = jax.ShapeDtypeStruct((BH, N, D), qt.dtype)
+    scratch = [
+        pltpu.VMEM((D_aug, block_q), jnp.float32),
+        pltpu.VMEM((8, block_q), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if with_lse:
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                o_spec,
+                pl.BlockSpec((1, block_q, _LSE_LANES), lambda b, i, j: (b, i, 0)),
+            ],
+            out_shape=[
+                o_shape,
+                jax.ShapeDtypeStruct((BH, N, _LSE_LANES), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            interpret=INTERPRET,
+        )(qt, k, vt)
+
+    def kernel_nolse(qt_ref, k_ref, vt_ref, o_ref, acc, m_s):
+        kernel(qt_ref, k_ref, vt_ref, o_ref, None, acc, m_s)
+
     return pl.pallas_call(
-        kernel,
+        kernel_nolse,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, D, block_q), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, D_aug, block_k), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, N, D), qt.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((D_aug, block_q), jnp.float32),
-            pltpu.VMEM((8, block_q), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=o_shape,
+        scratch_shapes=scratch,
+        compiler_params=cparams,
         interpret=INTERPRET,
     )(qt, k, vt)
 
@@ -1142,6 +1189,60 @@ _flash.defvjp(
 )
 
 
+def _block_geometry(Nq, Nk, block_q, block_k, D):
+    """Shared block-size policy for the flash dispatchers (bhnd + bnhd).
+
+    Returns (bq, bk, Nq_padded, Nk_padded)."""
+    if D >= 128:
+        # measured on v5e at N~18k: D=128 runs 90 TFLOP/s with 1024-wide KV
+        # blocks vs 85 at 2048 (and the working set doubles with D)
+        block_k = min(block_k, 1024)
+    elif (block_q, block_k) == (1024, 2048):
+        # caller left the defaults: transposed lagged-max kernel (head_dim
+        # < 128) measures best at 2048x1024 (84 TF/s at CogVideoX geometry)
+        block_q, block_k = 2048, 1024
+    bq = min(block_q, _round_up(Nq, 128))
+    bk = min(block_k, _round_up(Nk, 128))
+    # short sequences: arrays pad to a block multiple, so a 1024-wide block
+    # wastes up to ~2x FLOPs at N ~1.3k (VGGT frame attention) — shrink
+    # blocks so the padded shape hugs N
+    if _round_up(Nq, 128) < 4 * block_q:
+        bq = min(bq, 512)
+    if _round_up(Nk, 128) < 4 * block_k:
+        bk = min(bk, 512)
+    return bq, bk, _round_up(Nq, bq), _round_up(Nk, bk)
+
+
+def _shard_wrapped(call, q, k, v, h_axis):
+    """Run ``call(q, k, v)`` per-shard under an active mesh.
+
+    Mosaic kernels cannot be auto-partitioned by GSPMD: under an active
+    mesh (tensor/data parallelism via ``jax.set_mesh``) batch rides the
+    data axis and heads the model axis (the Megatron qkv column-sharding
+    makes heads the natural TP dimension), so the wrap itself introduces
+    no collective. Identity when no mesh is active. ``h_axis`` is the
+    position of the heads axis (1 for bhnd, 2 for bnhd); the sequence
+    axes stay global either way, so block geometry computed from the
+    global shapes is valid per-shard."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if not mesh.empty:
+        from jax.sharding import PartitionSpec as P
+
+        dp = mesh.shape.get("data", 1)
+        tp = mesh.shape.get("model", 1)
+        if dp > 1 or tp > 1:
+            B, H = q.shape[0], q.shape[h_axis]
+            axes = [None] * 4
+            axes[0] = "data" if dp > 1 and B % dp == 0 else None
+            axes[h_axis] = "model" if tp > 1 and H % tp == 0 else None
+            spec = P(*axes)
+            return jax.shard_map(
+                call, mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(q, k, v)
+    return call(q, k, v)
+
+
 def _attention_bnhd(q, k, v, block_q, block_k):
     """Inference flash attention from (B, N, H, D) operands, D < 128.
 
@@ -1153,15 +1254,7 @@ def _attention_bnhd(q, k, v, block_q, block_k):
     """
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
-    block_q, block_k = (2048, 1024) if (block_q, block_k) == (1024, 2048) \
-        else (block_q, block_k)
-    bq = min(block_q, _round_up(Nq, 128))
-    bk = min(block_k, _round_up(Nk, 128))
-    if _round_up(Nq, 128) < 4 * block_q:
-        bq = min(bq, 512)
-    if _round_up(Nk, 128) < 4 * block_k:
-        bk = min(bk, 512)
-    Nq_p, Nk_p = _round_up(Nq, bq), _round_up(Nk, bk)
+    bq, bk, Nq_p, Nk_p = _block_geometry(Nq, Nk, block_q, block_k, D)
     scale = D ** -0.5
     D_aug = _round_up(D + 1, 8)
 
@@ -1199,21 +1292,7 @@ def _attention_bnhd(q, k, v, block_q, block_k):
         out = out.reshape(Bl, Hl, Nq_p, D)
         return jnp.transpose(out, (0, 2, 1, 3))[:, :Nq]
 
-    mesh = jax.sharding.get_abstract_mesh()
-    if not mesh.empty:
-        from jax.sharding import PartitionSpec as P
-
-        dp = mesh.shape.get("data", 1)
-        tp = mesh.shape.get("model", 1)
-        if dp > 1 or tp > 1:
-            bspec = "data" if dp > 1 and B % dp == 0 else None
-            hspec = "model" if tp > 1 and H % tp == 0 else None
-            spec = P(bspec, None, hspec, None)
-            return jax.shard_map(
-                _call, mesh=mesh, in_specs=(spec, spec, spec),
-                out_specs=spec, check_vma=False,
-            )(q, k, v)
-    return _call(q, k, v)
+    return _shard_wrapped(_call, q, k, v, h_axis=2)
 
 
 def attention(
@@ -1264,7 +1343,10 @@ def attention(
             # exact native-layout kernel is faster than the int8 lagged
             # path — same "int8 only where int8 wins" dispatch rule as the
             # D >= 128 exact routing (ARCHITECTURE.md)
-            return _flash_short(q, k, v, k.shape[1])
+            Nk = k.shape[1]
+            return _shard_wrapped(
+                lambda q, k, v: _flash_short(q, k, v, Nk), q, k, v, h_axis=2
+            )
         out = attention(
             jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
             jnp.transpose(v, (0, 2, 1, 3)), impl=impl,
@@ -1288,24 +1370,7 @@ def attention(
 
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
-    if D >= 128:
-        # measured on v5e at N~18k: D=128 runs 90 TFLOP/s with 1024-wide KV
-        # blocks vs 85 at 2048 (and the working set doubles with D)
-        block_k = min(block_k, 1024)
-    elif (block_q, block_k) == (1024, 2048):
-        # caller left the defaults: transposed lagged-max kernel (head_dim
-        # < 128) measures best at 2048x1024 (84 TF/s at CogVideoX geometry)
-        block_q, block_k = 2048, 1024
-    bq = min(block_q, _round_up(Nq, 128))
-    bk = min(block_k, _round_up(Nk, 128))
-    # short sequences: arrays pad to a block multiple, so a 1024-wide block
-    # wastes up to ~2x FLOPs at N ~1.3k (VGGT frame attention) — shrink
-    # blocks so the padded shape hugs N
-    if _round_up(Nq, 128) < 4 * block_q:
-        bq = min(bq, 512)
-    if _round_up(Nk, 128) < 4 * block_k:
-        bk = min(bk, 512)
-    Nq_p, Nk_p = _round_up(Nq, bq), _round_up(Nk, bk)
+    bq, bk, Nq_p, Nk_p = _block_geometry(Nq, Nk, block_q, block_k, D)
 
     def _call(q, k, v):
         # shapes read inside: under shard_map these are the PER-DEVICE
@@ -1337,23 +1402,4 @@ def attention(
             out = _flash(qp, kp, vp, Nk, bq, bk)
         return out.reshape(Bl, Hl, Nq_p, D)[:, :, :Nq]
 
-    # Mosaic kernels cannot be auto-partitioned by GSPMD: under an active
-    # mesh (tensor/data parallelism via jax.set_mesh) run the kernel
-    # per-shard with shard_map — batch rides the data axis and heads the
-    # model axis (the Megatron qkv column-sharding makes heads the natural
-    # TP dimension), so no collective is introduced by the wrap itself.
-    mesh = jax.sharding.get_abstract_mesh()
-    if not mesh.empty:
-        from jax.sharding import PartitionSpec as P
-
-        dp = mesh.shape.get("data", 1)
-        tp = mesh.shape.get("model", 1)
-        if dp > 1 or tp > 1:
-            bspec = "data" if dp > 1 and B % dp == 0 else None
-            hspec = "model" if tp > 1 and H % tp == 0 else None
-            spec = P(bspec, hspec, None, None)
-            return jax.shard_map(
-                _call, mesh=mesh, in_specs=(spec, spec, spec),
-                out_specs=spec, check_vma=False,
-            )(q, k, v)
-    return _call(q, k, v)
+    return _shard_wrapped(_call, q, k, v, h_axis=1)
