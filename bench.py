@@ -530,17 +530,26 @@ def main():
               file=sys.stderr, flush=True)
         return False
 
-    # ---- north stars (always run) ----
+    # ---- north stars (always run; each isolated so one failure cannot
+    # erase the other two from the round's BENCH_r*.json) ----
     print("bench: [0s] denoise exact", file=sys.stderr, flush=True)
-    steps_per_sec, dt = bench_denoise()
     result = {
         "metric": "denoise_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 4),
+        "value": None,
         "unit": "steps/sec (CogVideoX-5B, CFG pair, 49f@480x720, bf16 exact)",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-        "vs_h100_estimate": round(steps_per_sec / H100_ESTIMATE_STEPS_PER_SEC, 3),
-        "step_ms": round(dt * 1000, 1),
     }
+    try:
+        steps_per_sec, dt = bench_denoise()
+        result.update({
+            "value": round(steps_per_sec, 4),
+            "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+            "vs_h100_estimate": round(
+                steps_per_sec / H100_ESTIMATE_STEPS_PER_SEC, 3
+            ),
+            "step_ms": round(dt * 1000, 1),
+        })
+    except Exception as e:  # pragma: no cover
+        result["denoise_error"] = str(e)[:200]
     if _TINY:
         result["tiny"] = True  # smoke-mode shapes; throughput is meaningless
     if os.environ.get("VIDEOGPA_BENCH_WAN", "1") == "1":
@@ -656,10 +665,16 @@ def main():
             # kernel (its classic-layout branch buffers were ~2.1 GiB of
             # 2x-lane-padded dead weight; temps 6.93 -> 6.23 GiB AOT).
             # Measured 0.0357 steps/s vs 0.0334 sequential. Falls back to
-            # sequential B=1 pairs if a leaner-HBM part OOMs it.
+            # sequential B=1 pairs if a leaner-HBM part OOMs it — recording
+            # which mode ran (the two operating points differ: 1.082 vs
+            # 1.012 vs_baseline), so a regression in the batched-pair
+            # memory fix is visible in BENCH_r*.json.
             try:
                 sps15, dt15 = bench_denoise(cfg=cfg15)
-            except Exception:
+                result["cog15_mode"] = "batched_pair"
+            except Exception as e:
+                result["cog15_batched_error"] = str(e)[:200]
+                result["cog15_mode"] = "sequential"
                 sps15, dt15 = bench_denoise(cfg=cfg15, cfg_pair=False)
             result["cog15_steps_per_sec"] = round(sps15, 4)
             result["cog15_step_ms"] = round(dt15 * 1000, 1)
@@ -719,6 +734,8 @@ def main():
         ("cog15", {
             "steps_per_sec": "cog15_steps_per_sec",
             "vs_baseline": "cog15_vs_baseline",
+            "mode": "cog15_mode",
+            "batched_error": "cog15_batched_error",
             "w8a8_steps_per_sec": "cog15_w8a8_steps_per_sec",
             "w8a8_vs_baseline": "cog15_w8a8_vs_baseline",
             "error": "cog15_error",

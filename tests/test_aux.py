@@ -218,6 +218,21 @@ class TestServiceBackend:
             assert task["status"] == "done", task
             assert task["n_frames"] == 8, task  # 16 frames @ 8fps -> 4fps
 
+            # non-positive fps is rejected with a clean 400 at submit time
+            for bad_fps in (0, -1, "nan"):
+                req = urllib.request.Request(
+                    f"{base}/infer",
+                    data=json.dumps(
+                        {"video": vid_path, "fps": bad_fps}
+                    ).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    urllib.request.urlopen(req)
+                    assert False, f"expected 400 for fps={bad_fps}"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400
+
             # colmap input: images + sparse model -> pose-conditioned infer
             # (reference ColmapHandler, services/input_handlers.py:108-160)
             scene = tmp_path / "scene"

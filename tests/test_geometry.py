@@ -283,6 +283,53 @@ class TestSplatting:
         same = np.all(exact == packed, axis=1)  # (T, H, W) per-pixel
         assert same.mean() > 0.99, same.mean()
 
+    def test_packed_zbuffer_wide_id_field(self):
+        """Clouds beyond 2^22 points widen the packed key's id field (23
+        bits here) instead of overflowing ids into the depth bits — winners
+        with ids above the old 22-bit cap must still decode correctly and
+        match the exact scatter on coarse (super-quantum) depths."""
+        rng = np.random.default_rng(13)
+        n = (1 << 22) + 64
+        H, W, T = 8, 8, 1
+        # few real points, placed at the TOP of the id range; the rest
+        # padded invalid so the exact scatter stays cheap
+        points = np.zeros((n, 3), np.float32)
+        valid = np.zeros((n,), bool)
+        real = np.arange(n - 200, n)
+        points[real] = rng.standard_normal((200, 3)).astype(np.float32)
+        points[real, 2] = 4.0 + np.round(rng.uniform(0, 4, 200) * 4) / 4
+        valid[real] = True
+        colors = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+        Ks = np.array(
+            [[[8.0, 0, W / 2], [0, 8.0, H / 2], [0, 0, 1]]], np.float32
+        )
+        Es = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)[None].astype(
+            np.float32
+        )
+        exact = batch_reproject(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(Ks),
+            jnp.asarray(Es), H, W, valid=jnp.asarray(valid))
+        packed = batch_reproject(
+            jnp.asarray(points), jnp.asarray(colors), jnp.asarray(Ks),
+            jnp.asarray(Es), H, W, valid=jnp.asarray(valid),
+            zbuffer_impl="packed")
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(packed))
+
+    def test_packed_zbuffer_rejects_oversized_cloud(self):
+        """Past 2^24 points fewer than 8 depth bits would remain: the packed
+        impl refuses (ValueError, not a strippable assert)."""
+        import pytest
+
+        from videogpa_tpu.geometry.projection import reproject_views_packed
+
+        n = 1 << 24
+        points = jnp.zeros((n, 3), jnp.float32)
+        colors = jnp.zeros((n, 3), jnp.float32)
+        Ks = jnp.eye(3)[None]
+        Es = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)[None]
+        with pytest.raises(ValueError, match="depth bits"):
+            reproject_views_packed(points, colors, Ks, Es, 4, 4)
+
     def test_batch_reproject_range_and_shape(self):
         rng = np.random.default_rng(8)
         points = jnp.asarray(rng.standard_normal((100, 3)), jnp.float32)

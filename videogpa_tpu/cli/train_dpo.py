@@ -187,28 +187,56 @@ def train_wan_dpo(config: dict):
         motion_threshold=config["motion_threshold"],
     )
     train_idx, val_idx = train_val_split(len(ds), 0.02, seed=42)
+    print(f"pairs: {len(ds)} (train {len(train_idx)}, val {len(val_idx)})")
     out_dir = config["output_dir"]
     ckpt = TrainCheckpointer(os.path.join(out_dir, "checkpoints"),
                              save_top_k=config["save_top_k"])
     logger = MetricLogger(out_dir, name="wan-dpo-tpu", config=config)
 
+    def _state_dict(st):
+        return {"lora": st.lora, "opt_state": st.opt_state, "step": st.step}
+
+    from videogpa_tpu.train.trainer import TrainState
+
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     step = 0
+    # resume from the newest checkpoint, same contract as train_dpo
+    latest = ckpt.latest() if config.get("resume", True) else None
+    if latest is not None:
+        state = TrainState(**ckpt.restore(latest, _state_dict(state)))
+        step = int(np.asarray(state.step))
+        print(f"resumed from {latest} at step {step}")
+
+    def make_batch(indices):
+        items = [ds[int(i)] for i in indices]
+        b = collate(items)
+        return {k: jnp.asarray(v) for k, v in b.items() if k != "prompt"}
+
     while step < tcfg.max_steps:
         for i in rng.permutation(train_idx):
-            item = collate([ds[int(i)]])
-            batch = {k: jnp.asarray(v) for k, v in item.items()
-                     if k != "prompt"}
+            batch = make_batch([i])
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub)
             step += 1
             if step % config["log_every_n_steps"] == 0:
                 logger.log(step, {f"train/{k}": float(v)
                                   for k, v in metrics.items()})
-            if step % config["checkpoint_every_n_steps"] == 0:
-                ckpt.save(step, {"lora": state.lora},
-                          metric=float(metrics["loss"]))
+            if step % config["checkpoint_every_n_steps"] == 0 \
+                    or step >= tcfg.max_steps:
+                # top-k by held-out val loss (reference ranks checkpoints by
+                # monitored val metric, …TI2V-5B/03_train.py ModelCheckpoint)
+                val_losses = []
+                for j in range(min(len(val_idx), 50)):
+                    key, sub = jax.random.split(key)
+                    val_losses.append(float(
+                        eval_step(state, make_batch(val_idx[j : j + 1]), sub)
+                        ["loss"]
+                    ))
+                val_loss = (float(np.mean(val_losses)) if val_losses
+                            else float("inf"))
+                logger.log(step, {"val/loss": val_loss})
+                ckpt.save(step, _state_dict(state), metric=val_loss)
             if step >= tcfg.max_steps:
                 break
     export_peft(state.lora, os.path.join(out_dir, "final_lora"),

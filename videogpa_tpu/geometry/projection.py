@@ -118,6 +118,16 @@ def batch_reproject(
         ``utils/projection_utils.py:99-101`` normalization).
     """
     colors = jnp.where(jnp.max(colors) <= 1.0, colors * 255.0, colors)
+    if zbuffer_impl == "packed" and points.shape[0] >= (1 << 24):
+        # beyond 2^24 points the packed key would keep < 8 depth bits —
+        # too coarse a quantum; static shapes make this a trace-time choice
+        import warnings
+
+        warnings.warn(
+            f"packed z-buffer supports < {1 << 24} points "
+            f"(got {points.shape[0]}); falling back to exact scatter"
+        )
+        zbuffer_impl = "scatter"
     if zbuffer_impl == "packed":
         render = reproject_views_packed(
             points, colors, intrinsics, extrinsics, H, W, valid
@@ -169,16 +179,30 @@ def reproject_views_packed(
       quantization ties.
 
     Exactness: winners match the exact scatter wherever per-pixel depth
-    gaps exceed the quantum (z-range/1023). Where two points fall in the
-    same depth bucket the LOWER-ID one wins even if marginally farther —
-    a sub-quantum occlusion flip with no effect at the metric level. The
-    exact impls stay the default for parity; this is the scorer's
-    production path (``VIDEOGPA_ZBUFFER=scatter`` reverts).
+    gaps exceed the quantum (z-range / (2^zq_bits - 1); 1/1023 of range at
+    the default 22-bit id field). Where two points fall in the same depth
+    bucket the LOWER-ID one wins even if marginally farther — a sub-quantum
+    occlusion flip with no effect at the metric level. The exact impls stay
+    the default for parity; this is the scorer's production path
+    (``VIDEOGPA_ZBUFFER=scatter`` reverts).
+
+    The id field widens with the (static) cloud size — pid_bits =
+    max(22, bits(n)), depth keeps the remaining 32 - pid_bits — down to a
+    floor of 8 depth bits (n < 2^24, i.e. ~62 frames at 518²); beyond that
+    a ValueError is raised (``batch_reproject`` falls back to the exact
+    scatter before that happens).
     """
     T = intrinsics.shape[0]
     n = points.shape[0]
     n_px = H * W
-    assert n < (1 << 22), "packed point id field is 22 bits"
+    pid_bits = max(22, (max(n, 2) - 1).bit_length())
+    zq_bits = 32 - pid_bits
+    if zq_bits < 8:
+        raise ValueError(
+            f"packed z-buffer: {n} points need {pid_bits} id bits, leaving "
+            f"{zq_bits} < 8 depth bits; use zbuffer_impl='scatter'"
+        )
+    zq_top = float((1 << zq_bits) - 2)  # max quantized depth (sentinel-safe)
 
     R = extrinsics[:, :3, :3]  # (T, 3, 3)
     t = extrinsics[:, :3, 3]  # (T, 3)
@@ -196,12 +220,12 @@ def reproject_views_packed(
     # per-view depth range for quantization (masked; degenerate-safe)
     zmin = jnp.min(jnp.where(ok, z, jnp.inf), axis=1, keepdims=True)
     zmax = jnp.max(jnp.where(ok, z, -jnp.inf), axis=1, keepdims=True)
-    scale = 1022.0 / jnp.maximum(zmax - zmin, 1e-9)
-    zq = jnp.clip((z - zmin) * scale, 0.0, 1022.0).astype(jnp.uint32)
+    scale = zq_top / jnp.maximum(zmax - zmin, 1e-9)
+    zq = jnp.clip((z - zmin) * scale, 0.0, zq_top).astype(jnp.uint32)
 
     pid = jax.lax.broadcasted_iota(jnp.uint32, (T, n), 1)
-    sentinel = jnp.uint32(0xFFFFFFFF)  # > any valid key (zq <= 1022)
-    key = jnp.where(ok, (zq << 22) | pid, sentinel)
+    sentinel = jnp.uint32(0xFFFFFFFF)  # > any valid key (zq <= zq_top)
+    key = jnp.where(ok, (zq << pid_bits) | pid, sentinel)
 
     # one flat buffer for all views; invalid points land in their view's
     # dump slot so shapes stay static under jit
@@ -212,7 +236,7 @@ def reproject_views_packed(
 
     win = buf.reshape(T, n_px + 1)[:, :n_px]
     hit = win != sentinel
-    ids = (win & jnp.uint32((1 << 22) - 1)).astype(jnp.int32)
+    ids = (win & jnp.uint32((1 << pid_bits) - 1)).astype(jnp.int32)
     c8 = jnp.floor(jnp.clip(colors, 0.0, 255.0))
     px = jnp.where(
         hit[..., None],

@@ -45,6 +45,8 @@ def _sample_video_fps(video_path: str, fps: float = 1.0):
     import cv2
     import numpy as np
 
+    if not fps > 0:
+        raise ValueError(f"fps must be > 0, got {fps}")
     if not os.path.exists(video_path):
         raise FileNotFoundError(f"video not found: {video_path}")
     cap = cv2.VideoCapture(video_path)
@@ -311,6 +313,15 @@ def make_handler(backend: ModelBackend):
                     return self._send(
                         400, {"error": "one of images/video/colmap required"}
                     )
+                if "fps" in payload:
+                    try:
+                        fps_ok = float(payload["fps"]) > 0
+                    except (TypeError, ValueError):
+                        fps_ok = False
+                    if not fps_ok:
+                        return self._send(
+                            400, {"error": "fps must be a number > 0"}
+                        )
                 task_id = backend.submit(payload)
                 return self._send(200, {"task_id": task_id})
             if self.path == "/reload":

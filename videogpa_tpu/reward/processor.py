@@ -48,6 +48,9 @@ class VideoProcessor:
         backbone: "vggt" (default) or "da3"; also honors the
             VIDEO_PROCESSOR_BACKBONE env var like the reference.
         compute_dtype: trunk dtype (bfloat16 on TPU).
+        dpt_dtype: DPT fusion-pyramid dtype; default follows
+            VIDEOGPA_DPT_BF16 if set, else compute_dtype's family
+            (f32 compute => f32 heads, reference-exact).
     """
 
     def __init__(
@@ -61,6 +64,7 @@ class VideoProcessor:
         attn_impl: str = "auto",
         dpt_chunk: int = 8,
         zbuffer_impl: Optional[str] = None,
+        dpt_dtype=None,
     ):
         self.metrics = metrics
         self.backbone = self._resolve_backbone(backbone, model_name)
@@ -87,13 +91,22 @@ class VideoProcessor:
         )
         # DPT fusion-pyramid dtype: bf16 measured 0.317 -> 0.223 s per head
         # at K=4 on-chip with rel-L2 drift 3.7e-4 (tools/onchip_dpt_ab.py);
-        # the reference keeps heads f32 (autocast-off) — VIDEOGPA_DPT_BF16=0
-        # restores that for scoring too
-        self.dpt_dtype = (
-            jnp.bfloat16
-            if os.environ.get("VIDEOGPA_DPT_BF16", "1") == "1"
-            else jnp.float32
-        )
+        # the reference keeps heads f32 (autocast-off). Resolution order:
+        # ctor arg > VIDEOGPA_DPT_BF16 env > follow compute_dtype (so an
+        # explicitly f32 processor is reference-exact end to end without
+        # needing the env knob)
+        if dpt_dtype is not None:
+            self.dpt_dtype = dpt_dtype
+        elif "VIDEOGPA_DPT_BF16" in os.environ:
+            self.dpt_dtype = (
+                jnp.bfloat16
+                if os.environ["VIDEOGPA_DPT_BF16"] == "1"
+                else jnp.float32
+            )
+        elif compute_dtype == jnp.float32:
+            self.dpt_dtype = jnp.float32
+        else:
+            self.dpt_dtype = jnp.bfloat16
         self._forward_cache: Dict[Any, Any] = {}
 
     @staticmethod
