@@ -182,26 +182,31 @@ def reproject_views_packed(
     gaps exceed the quantum (z-range / (2^zq_bits - 1); 1/1023 of range at
     the default 22-bit id field). Where two points fall in the same depth
     bucket the LOWER-ID one wins even if marginally farther — a sub-quantum
-    occlusion flip with no effect at the metric level. The exact impls stay
-    the default for parity; this is the scorer's production path
-    (``VIDEOGPA_ZBUFFER=scatter`` reverts).
+    occlusion flip with no effect at the metric level. This is the scorer's
+    PRODUCTION default (``reward/processor.py`` sets
+    ``VIDEOGPA_ZBUFFER=packed``); only ``batch_reproject``'s signature
+    default stays ``"scatter"`` for callers that want the exact parity
+    lowering, and ``VIDEOGPA_ZBUFFER=scatter`` reverts the scorer.
 
     The id field widens with the (static) cloud size — pid_bits =
     max(22, bits(n)), depth keeps the remaining 32 - pid_bits — down to a
-    floor of 8 depth bits (n < 2^24, i.e. ~62 frames at 518²); beyond that
-    a ValueError is raised (``batch_reproject`` falls back to the exact
-    scatter before that happens).
+    floor of 9 depth bits. Clouds of n >= 2^24 points (~64 frames at 518²)
+    raise a ValueError here; ``batch_reproject`` applies the same cutoff
+    and falls back to the exact scatter instead of raising.
     """
     T = intrinsics.shape[0]
     n = points.shape[0]
     n_px = H * W
+    if n >= (1 << 24):
+        # same boundary as batch_reproject's fallback: at n = 2^24 the id
+        # field would eat 24 bits, leaving an 8-bit depth quantum we don't
+        # trust for occlusion ordering.
+        raise ValueError(
+            f"packed z-buffer supports < {1 << 24} points (got {n}): the id "
+            f"field would leave too few depth bits; use zbuffer_impl='scatter'"
+        )
     pid_bits = max(22, (max(n, 2) - 1).bit_length())
     zq_bits = 32 - pid_bits
-    if zq_bits < 8:
-        raise ValueError(
-            f"packed z-buffer: {n} points need {pid_bits} id bits, leaving "
-            f"{zq_bits} < 8 depth bits; use zbuffer_impl='scatter'"
-        )
     zq_top = float((1 << zq_bits) - 2)  # max quantized depth (sentinel-safe)
 
     R = extrinsics[:, :3, :3]  # (T, 3, 3)
