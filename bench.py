@@ -499,7 +499,8 @@ def bench_overlap():
     return n_clips * 60.0 / dt_seq, n_clips * 60.0 / dt_ovl, decomp
 
 
-def main():
+def _setup_backend():
+    """Per-process backend setup (runs in every block subprocess)."""
     if os.environ.get("VIDEOGPA_BENCH_CPU") == "1":
         import jax
 
@@ -510,145 +511,102 @@ def main():
     else:
         _enable_compile_cache()
 
-    # Wall-clock discipline: the three north stars (denoise, wan, reward —
-    # BASELINE.json) run FIRST and unconditionally; every extra (int8/W8A8
-    # modes, cog15 flagship) is skipped once the budget is spent, so the
-    # driver's BENCH_r*.json always carries the full exact scoreboard even
-    # on a stall-y tunnel day (first dispatch of a kernel-bearing program
-    # can stall minutes regardless of compile-cache state — CLAUDE.md).
-    t_start = time.perf_counter()
-    budget_s = float(os.environ.get("VIDEOGPA_BENCH_BUDGET_S", "3900"))
-    skipped = []
 
-    def over_budget(name):
-        if budget_s > 0 and time.perf_counter() - t_start > budget_s:
-            skipped.append(name)
-            print(f"bench: budget spent, skipping extra '{name}'",
-                  file=sys.stderr, flush=True)
-            return True
-        print(f"bench: [{time.perf_counter() - t_start:.0f}s] {name}",
-              file=sys.stderr, flush=True)
-        return False
+def _run_block(name):
+    """Child entry: run ONE bench block, return its flat result dict.
 
-    # ---- north stars (always run; each isolated so one failure cannot
-    # erase the other two from the round's BENCH_r*.json) ----
-    print("bench: [0s] denoise exact", file=sys.stderr, flush=True)
-    result = {
-        "metric": "denoise_steps_per_sec_per_chip",
-        "value": None,
-        "unit": "steps/sec (CogVideoX-5B, CFG pair, 49f@480x720, bf16 exact)",
-    }
-    try:
-        steps_per_sec, dt = bench_denoise()
-        result.update({
-            "value": round(steps_per_sec, 4),
-            "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-            "vs_h100_estimate": round(
-                steps_per_sec / H100_ESTIMATE_STEPS_PER_SEC, 3
-            ),
-            "step_ms": round(dt * 1000, 1),
-        })
-    except Exception as e:  # pragma: no cover
-        result["denoise_error"] = str(e)[:200]
-    if _TINY:
-        result["tiny"] = True  # smoke-mode shapes; throughput is meaningless
-    if os.environ.get("VIDEOGPA_BENCH_WAN", "1") == "1":
+    Errors are caught and returned as ``<block>_error`` keys so the parent
+    always gets a parseable JSON line; process-fatal failures (OOM killing
+    the runtime, a wedged tunnel) are handled by the parent's subprocess
+    timeout/rc path instead.
+    """
+    out = {}
+    if name == "denoise":
         try:
-            print(f"bench: [{time.perf_counter() - t_start:.0f}s] wan exact",
-                  file=sys.stderr, flush=True)
-            wan_sps = bench_wan()
-            result["wan_steps_per_sec"] = round(wan_sps, 4)
-            result["wan_vs_baseline"] = round(
-                wan_sps / WAN_BASELINE_STEPS_PER_SEC, 3
-            )
+            steps_per_sec, dt = bench_denoise()
+            out.update({
+                "value": round(steps_per_sec, 4),
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+                "vs_h100_estimate": round(
+                    steps_per_sec / H100_ESTIMATE_STEPS_PER_SEC, 3
+                ),
+                "step_ms": round(dt * 1000, 1),
+            })
         except Exception as e:  # pragma: no cover
-            result["wan_error"] = str(e)[:200]
-    scores = per_clip = None
-    if os.environ.get("VIDEOGPA_BENCH_REWARD", "1") == "1":
+            out["denoise_error"] = str(e)[:200]
+    elif name == "wan":
         try:
-            print(f"bench: [{time.perf_counter() - t_start:.0f}s] reward exact",
-                  file=sys.stderr, flush=True)
+            wan_sps = bench_wan()
+            out["wan_steps_per_sec"] = round(wan_sps, 4)
+            out["wan_vs_baseline"] = round(wan_sps / WAN_BASELINE_STEPS_PER_SEC, 3)
+        except Exception as e:  # pragma: no cover
+            out["wan_error"] = str(e)[:200]
+    elif name == "reward":
+        try:
             single, batched, scores, per_clip = bench_reward()
-            result["reward_clips_per_min"] = round(single, 2)
-            result["reward_clips_per_min_batched"] = round(batched, 2)
-            result["reward_vs_baseline"] = round(
+            out["reward_clips_per_min"] = round(single, 2)
+            out["reward_clips_per_min_batched"] = round(batched, 2)
+            out["reward_vs_baseline"] = round(
                 batched / REWARD_BASELINE_CLIPS_PER_MIN, 3
             )
+            # private keys: the parent compares these against the int8
+            # block's to compute drift + rank agreement, then strips them
+            out["_reward_consistency"] = float(scores["Consistency_Score"])
+            if per_clip is not None:
+                out["_reward_per_clip"] = [
+                    float(x) for x in np.asarray(per_clip).ravel()
+                ]
         except Exception as e:  # pragma: no cover
-            result["reward_error"] = str(e)[:200]
-
-    # ---- extras (budget-gated, priority order) ----
-    # the int8 extra costs a second full compile (~3 min on the remote
-    # compiler); never let it lose the headline number
-    if os.environ.get("VIDEOGPA_BENCH_INT8", "1") == "1" and not over_budget(
-        "denoise int8"
-    ):
+            out["reward_error"] = str(e)[:200]
+    elif name == "int8":
         try:
             sps_i8, dt_i8 = bench_denoise(attn_impl="flash_int8")
-            result["int8_steps_per_sec"] = round(sps_i8, 4)
-            result["int8_step_ms"] = round(dt_i8 * 1000, 1)
-            result["int8_vs_baseline"] = round(sps_i8 / BASELINE_STEPS_PER_SEC, 3)
+            out["int8_steps_per_sec"] = round(sps_i8, 4)
+            out["int8_step_ms"] = round(dt_i8 * 1000, 1)
+            out["int8_vs_baseline"] = round(sps_i8 / BASELINE_STEPS_PER_SEC, 3)
         except Exception as e:  # pragma: no cover - environment hiccups
-            result["int8_error"] = str(e)[:200]
-    if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1" and not over_budget(
-        "denoise w8a8"
-    ):
+            out["int8_error"] = str(e)[:200]
+    elif name == "w8a8":
         try:
             # full int8 inference mode: W8A8 projections/FFN + int8-QK attn
             sps_q, dt_q = bench_denoise(attn_impl="flash_int8", w8a8=True)
-            result["w8a8_steps_per_sec"] = round(sps_q, 4)
-            result["w8a8_step_ms"] = round(dt_q * 1000, 1)
-            result["w8a8_vs_baseline"] = round(sps_q / BASELINE_STEPS_PER_SEC, 3)
+            out["w8a8_steps_per_sec"] = round(sps_q, 4)
+            out["w8a8_step_ms"] = round(dt_q * 1000, 1)
+            out["w8a8_vs_baseline"] = round(sps_q / BASELINE_STEPS_PER_SEC, 3)
         except Exception as e:  # pragma: no cover
-            result["w8a8_error"] = str(e)[:200]
-    if (
-        os.environ.get("VIDEOGPA_BENCH_WAN", "1") == "1"
-        and os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1"
-        and not over_budget("wan w8a8")
-    ):
+            out["w8a8_error"] = str(e)[:200]
+    elif name == "wan_w8a8":
         try:
             # Wan production int8 inference mode (W8A8 GEMMs + int8-QK)
             wan_q = bench_wan(attn_impl="flash_int8", w8a8=True)
-            result["wan_w8a8_steps_per_sec"] = round(wan_q, 4)
-            result["wan_w8a8_vs_baseline"] = round(
+            out["wan_w8a8_steps_per_sec"] = round(wan_q, 4)
+            out["wan_w8a8_vs_baseline"] = round(
                 wan_q / WAN_BASELINE_STEPS_PER_SEC, 3
             )
         except Exception as e:  # pragma: no cover
-            result["wan_w8a8_error"] = str(e)[:200]
-    if (
-        os.environ.get("VIDEOGPA_BENCH_REWARD", "1") == "1"
-        and os.environ.get("VIDEOGPA_BENCH_INT8", "1") == "1"
-        and not over_budget("reward int8")
-    ):
+            out["wan_w8a8_error"] = str(e)[:200]
+    elif name == "reward_int8":
         try:
-            if scores is None:
-                raise RuntimeError("exact reward bench failed")
-            # int8-QK scoring mode + score drift vs exact on the same frames
+            # int8-QK scoring mode; the parent computes score drift / rank
+            # agreement vs the exact block (absolute drift on RANDOM weights
+            # + noise frames is the chaotic worst case — top-k confidence
+            # masks and z-buffer winners flip discontinuously at any numeric
+            # difference; the production signal is rank agreement, since DPO
+            # consumes only the ORDERING of candidate clips,
+            # train/dataset.py win/lose pair construction)
             s8, b8, scores8, per_clip8 = bench_reward(attn_impl="flash_int8")
-            result["reward_int8_clips_per_min_batched"] = round(b8, 2)
-            result["reward_int8_vs_baseline"] = round(
+            out["reward_int8_clips_per_min_batched"] = round(b8, 2)
+            out["reward_int8_vs_baseline"] = round(
                 b8 / REWARD_BASELINE_CLIPS_PER_MIN, 3
             )
-            cs, cs8 = scores["Consistency_Score"], scores8["Consistency_Score"]
-            # absolute drift on RANDOM weights + noise frames is the chaotic
-            # worst case (top-k confidence masks and z-buffer winners flip
-            # discontinuously at any numeric difference); the production
-            # signal is rank agreement — DPO consumes only the ORDERING of
-            # candidate clips (train/dataset.py win/lose pair construction)
-            result["reward_int8_consistency_drift"] = round(
-                abs(cs8 - cs) / max(abs(cs), 1e-9), 5
-            )
-            if per_clip is not None and per_clip8 is not None:
-                a = np.asarray(per_clip).ravel()
-                b = np.asarray(per_clip8).ravel()
-                result["reward_int8_rank_agreement"] = bool(
-                    np.array_equal(np.argsort(a), np.argsort(b))
-                )
+            out["_reward_int8_consistency"] = float(scores8["Consistency_Score"])
+            if per_clip8 is not None:
+                out["_reward_int8_per_clip"] = [
+                    float(x) for x in np.asarray(per_clip8).ravel()
+                ]
         except Exception as e:  # pragma: no cover
-            result["reward_int8_error"] = str(e)[:200]
-    if os.environ.get("VIDEOGPA_BENCH_COG15", "1") == "1" and not over_budget(
-        "cog15"
-    ):
+            out["reward_int8_error"] = str(e)[:200]
+    elif name in ("cog15", "cog15_w8a8"):
         # CogVideoX1.5-5B flagship operating point: 81f@768x1360, the longest
         # sequence in the system (45,106 tokens; generate/CogVideoX1.5-5B.py)
         import dataclasses as _dc
@@ -659,61 +617,200 @@ def main():
             _dc.replace(CogVideoXConfig.tiny(), patch_size_t=2)
             if _TINY else CogVideoXConfig.cogvideox_1_5_5b()
         )
-        try:
-            # exact bf16 BATCHED CFG pair: fits one v5e since the attention
-            # exactness-guard fallback moved to the transposed stalling
-            # kernel (its classic-layout branch buffers were ~2.1 GiB of
-            # 2x-lane-padded dead weight; temps 6.93 -> 6.23 GiB AOT).
-            # Measured 0.0357 steps/s vs 0.0334 sequential. Falls back to
-            # sequential B=1 pairs if a leaner-HBM part OOMs it — recording
-            # which mode ran (the two operating points differ: 1.082 vs
-            # 1.012 vs_baseline), so a regression in the batched-pair
-            # memory fix is visible in BENCH_r*.json.
+        if name == "cog15":
             try:
-                sps15, dt15 = bench_denoise(cfg=cfg15)
-                result["cog15_mode"] = "batched_pair"
-            except Exception as e:
-                result["cog15_batched_error"] = str(e)[:200]
-                result["cog15_mode"] = "sequential"
-                sps15, dt15 = bench_denoise(cfg=cfg15, cfg_pair=False)
-            result["cog15_steps_per_sec"] = round(sps15, 4)
-            result["cog15_step_ms"] = round(dt15 * 1000, 1)
-            result["cog15_vs_baseline"] = round(
-                sps15 / COG15_BASELINE_STEPS_PER_SEC, 3
-            )
-        except Exception as e:  # pragma: no cover
-            result["cog15_error"] = str(e)[:200]
-        if os.environ.get("VIDEOGPA_BENCH_W8A8", "1") == "1" and not over_budget(
-            "cog15 w8a8"
-        ):
+                # exact bf16 BATCHED CFG pair: fits one v5e since the
+                # attention exactness-guard fallback moved to the transposed
+                # stalling kernel (its classic-layout branch buffers were
+                # ~2.1 GiB of 2x-lane-padded dead weight; temps 6.93 -> 6.23
+                # GiB AOT). Falls back to sequential B=1 pairs if a
+                # leaner-HBM part OOMs it — recording which mode ran (the
+                # two operating points differ: 1.082 vs 1.012 vs_baseline),
+                # so a regression in the batched-pair memory fix is visible
+                # in BENCH_r*.json.
+                try:
+                    sps15, dt15 = bench_denoise(cfg=cfg15)
+                    out["cog15_mode"] = "batched_pair"
+                except Exception as e:
+                    out["cog15_batched_error"] = str(e)[:200]
+                    out["cog15_mode"] = "sequential"
+                    sps15, dt15 = bench_denoise(cfg=cfg15, cfg_pair=False)
+                out["cog15_steps_per_sec"] = round(sps15, 4)
+                out["cog15_step_ms"] = round(dt15 * 1000, 1)
+                out["cog15_vs_baseline"] = round(
+                    sps15 / COG15_BASELINE_STEPS_PER_SEC, 3
+                )
+            except Exception as e:  # pragma: no cover
+                out["cog15_error"] = str(e)[:200]
+        else:
             try:
                 sps15q, dt15q = bench_denoise(
                     attn_impl="flash_int8", w8a8=True, cfg=cfg15
                 )
-                result["cog15_w8a8_steps_per_sec"] = round(sps15q, 4)
-                result["cog15_w8a8_vs_baseline"] = round(
+                out["cog15_w8a8_steps_per_sec"] = round(sps15q, 4)
+                out["cog15_w8a8_vs_baseline"] = round(
                     sps15q / COG15_BASELINE_STEPS_PER_SEC, 3
                 )
             except Exception as e:  # pragma: no cover
-                result["cog15_w8a8_error"] = str(e)[:200]
-    if skipped:
-        result["budget_skipped"] = skipped
-    if os.environ.get("VIDEOGPA_BENCH_TRAIN") == "1":
+                out["cog15_w8a8_error"] = str(e)[:200]
+    elif name == "train":
         try:
             tps, tdt, scale = bench_train()
-            result[f"dpo_steps_per_sec_{scale}"] = round(tps, 4)
-            result[f"dpo_step_ms_{scale}"] = round(tdt * 1000, 1)
+            out[f"dpo_steps_per_sec_{scale}"] = round(tps, 4)
+            out[f"dpo_step_ms_{scale}"] = round(tdt * 1000, 1)
         except Exception as e:  # pragma: no cover
-            result["train_error"] = str(e)[:200]
-    if os.environ.get("VIDEOGPA_BENCH_OVERLAP") == "1":
+            out["train_error"] = str(e)[:200]
+    elif name == "overlap":
         try:
             seq, ovl, decomp = bench_overlap()
-            result["genscore_clips_per_min_sequential"] = round(seq, 2)
-            result["genscore_clips_per_min_overlapped"] = round(ovl, 2)
-            result["overlap_speedup"] = round(ovl / seq, 3)
-            result["overlap_decomposition"] = decomp
+            out["genscore_clips_per_min_sequential"] = round(seq, 2)
+            out["genscore_clips_per_min_overlapped"] = round(ovl, 2)
+            out["overlap_speedup"] = round(ovl / seq, 3)
+            out["overlap_decomposition"] = decomp
         except Exception as e:  # pragma: no cover
-            result["overlap_error"] = str(e)[:200]
+            out["overlap_error"] = str(e)[:200]
+    else:  # pragma: no cover
+        out[f"{name}_error"] = f"unknown bench block '{name}'"
+    return out
+
+
+def _spawn_block(name, timeout_s):
+    """Run one block in a fresh subprocess; return (result dict, error str).
+
+    Why subprocesses: round-4's single-process bench accumulated HBM
+    residue/fragmentation across the 5B/1B-scale blocks and everything from
+    `denoise w8a8` on died RESOURCE_EXHAUSTED (BENCH_r04.json) — erasing
+    five results from the round's artifact. A fresh process gets a fresh
+    arena, and the reference runs its phases as separate processes too
+    (replicate.sh:73-103). The persistent compile cache
+    (utils/compile_cache.py, armed per-child) makes the recompiles
+    near-free; the per-process cost is the ~2-3 min axon client init.
+    """
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--block", name]
+    try:
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"block subprocess timeout after {int(timeout_s)}s"
+    for line in reversed((proc.stdout or "").strip().splitlines() or [""]):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                break
+    tail = (proc.stderr or "")[-250:].replace("\n", " ")
+    return None, f"block subprocess rc={proc.returncode}: {tail}"
+
+
+def main():
+    # Child mode: run exactly one block in this process and print its JSON.
+    if len(sys.argv) >= 3 and sys.argv[1] == "--block":
+        _setup_backend()
+        print(json.dumps(_run_block(sys.argv[2])))
+        return
+
+    # Parent mode: orchestrate the blocks as FRESH SUBPROCESSES (one block's
+    # HBM residue cannot OOM the next — see _spawn_block) and merge their
+    # JSON. Wall-clock discipline: the three north stars (denoise, wan,
+    # reward — BASELINE.json) run FIRST and unconditionally; every extra
+    # (int8/W8A8 modes, cog15 flagship, train step) is skipped once the
+    # budget is spent, so the driver's BENCH_r*.json always carries the full
+    # exact scoreboard even on a stall-y tunnel day (first dispatch of a
+    # kernel-bearing program can stall minutes regardless of compile-cache
+    # state — CLAUDE.md).
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("VIDEOGPA_BENCH_BUDGET_S", "3900"))
+    skipped = []
+    result = {
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": None,
+        "unit": "steps/sec (CogVideoX-5B, CFG pair, 49f@480x720, bf16 exact)",
+    }
+    if _TINY:
+        result["tiny"] = True  # smoke-mode shapes; throughput is meaningless
+
+    def _elapsed():
+        return time.perf_counter() - t_start
+
+    def run(name, label, error_key, north_star=False):
+        remaining = budget_s - _elapsed()
+        if not north_star and budget_s > 0 and remaining <= 0:
+            skipped.append(label)
+            print(f"bench: budget spent, skipping extra '{label}'",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"bench: [{_elapsed():.0f}s] {label}", file=sys.stderr, flush=True)
+        # North stars get a generous floor (a stall-day first dispatch can
+        # take ~10 min); extras may overshoot the budget by at most their
+        # floor before the NEXT extra gets skipped.
+        if budget_s <= 0:
+            timeout_s = 3600.0
+        elif north_star:
+            timeout_s = max(1500.0, remaining)
+        else:
+            timeout_s = max(600.0, remaining)
+        out, err = _spawn_block(name, timeout_s)
+        if err is not None:
+            result[error_key] = err[:200]
+        else:
+            result.update(out)
+
+    def gate(var, default="1"):
+        return os.environ.get(var, default) == "1"
+
+    # ---- north stars (always run; each isolated so one failure cannot
+    # erase the other two from the round's BENCH_r*.json) ----
+    run("denoise", "denoise exact", "denoise_error", north_star=True)
+    if gate("VIDEOGPA_BENCH_WAN"):
+        run("wan", "wan exact", "wan_error", north_star=True)
+    if gate("VIDEOGPA_BENCH_REWARD"):
+        run("reward", "reward exact", "reward_error", north_star=True)
+
+    # ---- extras (budget-gated, priority order) ----
+    if gate("VIDEOGPA_BENCH_INT8"):
+        run("int8", "denoise int8", "int8_error")
+    if gate("VIDEOGPA_BENCH_W8A8"):
+        run("w8a8", "denoise w8a8", "w8a8_error")
+    if gate("VIDEOGPA_BENCH_WAN") and gate("VIDEOGPA_BENCH_W8A8"):
+        run("wan_w8a8", "wan w8a8", "wan_w8a8_error")
+    if gate("VIDEOGPA_BENCH_REWARD") and gate("VIDEOGPA_BENCH_INT8"):
+        run("reward_int8", "reward int8", "reward_int8_error")
+    if gate("VIDEOGPA_BENCH_COG15"):
+        run("cog15", "cog15", "cog15_error")
+        if gate("VIDEOGPA_BENCH_W8A8"):
+            run("cog15_w8a8", "cog15 w8a8", "cog15_w8a8_error")
+    # DPO train-step throughput — the reference's stats/samples_per_sec
+    # telemetry point (train/CogVideoX-I2V-5B/03_train.py:166-177); a
+    # budget-gated DEFAULT so BENCH_r*.json carries dpo_steps_per_sec_2b
+    if gate("VIDEOGPA_BENCH_TRAIN"):
+        run("train", "train 2b", "train_error")
+    if gate("VIDEOGPA_BENCH_OVERLAP", default="0"):
+        run("overlap", "overlap", "overlap_error")
+
+    # derived int8-scoring quality signals (exact vs int8 block outputs)
+    cs = result.pop("_reward_consistency", None)
+    pc = result.pop("_reward_per_clip", None)
+    cs8 = result.pop("_reward_int8_consistency", None)
+    pc8 = result.pop("_reward_int8_per_clip", None)
+    if cs is not None and cs8 is not None:
+        result["reward_int8_consistency_drift"] = round(
+            abs(cs8 - cs) / max(abs(cs), 1e-9), 5
+        )
+    if pc is not None and pc8 is not None:
+        a, b = np.asarray(pc).ravel(), np.asarray(pc8).ravel()
+        result["reward_int8_rank_agreement"] = bool(
+            np.array_equal(np.argsort(a), np.argsort(b))
+        )
+    if skipped:
+        result["budget_skipped"] = skipped
 
     # nested north-star blocks: the full scoreboard in one place (the flat
     # keys above are kept for back-compat with docs/older BENCH_r* files)

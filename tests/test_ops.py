@@ -323,6 +323,31 @@ class TestFlashAttention:
                 np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-5
             )
 
+    def test_bnhd_layout_gradients_match_reference(self):
+        """The inference-layout path (layout='bnhd', the self_attention
+        default) must be DIFFERENTIABLE: its vjp falls back to the bhnd
+        flash backward (attention._attention_bnhd_vjp), so fine-tuning a
+        ViT block never hits a missing-vjp error (ADVICE r4)."""
+        key = jax.random.PRNGKey(7)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 150, 2, 32))  # (B, N, H, D)
+        k = jax.random.normal(kk, (1, 150, 2, 32))
+        v = jax.random.normal(kv, (1, 150, 2, 32))
+
+        def loss_bnhd(q, k, v):
+            o = attention(q, k, v, impl="flash", block_q=128, block_k=128,
+                          layout="bnhd")
+            return jnp.sum(o * o)
+
+        def loss_ref(q, k, v):
+            tr = lambda x: jnp.transpose(x, (0, 2, 1, 3))
+            return jnp.sum(mha_reference(tr(q), tr(k), tr(v)) ** 2)
+
+        g1 = jax.grad(loss_bnhd, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
     def test_bf16_forward(self):
         key = jax.random.PRNGKey(3)
         q = jax.random.normal(key, (1, 2, 256, 64), jnp.bfloat16)

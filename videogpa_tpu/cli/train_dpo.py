@@ -213,15 +213,20 @@ def train_wan_dpo(config: dict):
         b = collate(items)
         return {k: jnp.asarray(v) for k, v in b.items() if k != "prompt"}
 
+    # honor a batch_size override like train_dpo does (recipe default is 1;
+    # Wan2.2-TI2V-5B/03_train.py trains at batch 1 with accumulation 2)
+    batch_size = config.get("batch_size", 1)
     while step < tcfg.max_steps:
-        for i in rng.permutation(train_idx):
-            batch = make_batch([i])
+        order = rng.permutation(train_idx)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            batch = make_batch(order[i : i + batch_size])
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub)
             step += 1
             if step % config["log_every_n_steps"] == 0:
-                logger.log(step, {f"train/{k}": float(v)
-                                  for k, v in metrics.items()})
+                m = {f"train/{k}": float(v) for k, v in metrics.items()}
+                m["stats/samples_per_sec"] = logger.throughput(step, batch_size)
+                logger.log(step, m)
             if step % config["checkpoint_every_n_steps"] == 0 \
                     or step >= tcfg.max_steps:
                 # top-k by held-out val loss (reference ranks checkpoints by

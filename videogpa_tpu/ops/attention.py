@@ -1295,6 +1295,41 @@ def _attention_bnhd(q, k, v, block_q, block_k):
     return _shard_wrapped(_call, q, k, v, h_axis=2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_bnhd_vjp(q, k, v, block_q, block_k):
+    """Differentiable wrapper over the inference-layout kernel.
+
+    The transposed-operand forward (``_attention_bnhd``) has no vjp of its
+    own — it exists to SKIP transposes, and its backward would reintroduce
+    them anyway. So the backward falls back to the bhnd flash path's
+    custom vjp (bit-identical grads, transposed accumulators): a ViT block
+    that is differentiated through (e.g. fine-tuning VGGT/DINOv2) gets
+    correct gradients instead of a missing-vjp error, while the inference
+    forward keeps the transpose-free layout win.
+    """
+    return _attention_bnhd(q, k, v, block_q, block_k)
+
+
+def _attention_bnhd_vjp_fwd(q, k, v, block_q, block_k):
+    return _attention_bnhd(q, k, v, block_q, block_k), (q, k, v)
+
+
+def _attention_bnhd_vjp_bwd(block_q, block_k, res, g):
+    q, k, v = res
+    tr = lambda x: jnp.transpose(x, (0, 2, 1, 3))
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention(
+            q_, k_, v_, impl="flash", block_q=block_q, block_k=block_k
+        ),
+        tr(q), tr(k), tr(v),
+    )
+    dq, dk, dv = vjp(tr(g))
+    return tr(dq), tr(dk), tr(dv)
+
+
+_attention_bnhd_vjp.defvjp(_attention_bnhd_vjp_fwd, _attention_bnhd_vjp_bwd)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -1320,8 +1355,10 @@ def attention(
             layout. At D < 128 on TPU (flash) this feeds the transposed
             kernel with ONE transpose per operand instead of two
             (heads-transpose + kernel swapaxes), saving ~2 full-tensor HBM
-            round-trips per attention. INFERENCE-ONLY (no vjp); other
-            impls/DTs fall back via an explicit transpose pair.
+            round-trips per attention. Differentiable: the vjp falls back
+            to the bhnd flash backward (``_attention_bnhd_vjp``), so the
+            layout win applies to inference while grads stay correct.
+            Other impls/DTs fall back via an explicit transpose pair.
 
     Returns:
         (B, num_heads, Nq, head_dim) (or (B, Nq, num_heads, head_dim) for
@@ -1331,7 +1368,7 @@ def attention(
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if layout == "bnhd":
         if impl == "flash" and q.shape[-1] < 128:
-            return _attention_bnhd(q, k, v, block_q, block_k)
+            return _attention_bnhd_vjp(q, k, v, block_q, block_k)
         if (
             impl == "flash_int8"
             and q.shape[-1] < 128

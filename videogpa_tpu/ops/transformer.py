@@ -78,10 +78,10 @@ def self_attention(
     attn_layout="bnhd" (default) keeps q/k/v in the projection-natural
     (B, N, H, D) layout into the kernel (``attention(layout="bnhd")``),
     replacing the 5D qkv transpose + per-operand kernel transposes with
-    slices + one transpose each. INFERENCE-ONLY on the flash path (no vjp)
-    — every consumer of this block (VGGT, DA3, DINOv2, trackers) is
-    inference in this repo; pass "bhnd" if a block is ever differentiated
-    through on TPU.
+    slices + one transpose each. Safe as a default: differentiating
+    through the block (e.g. fine-tuning VGGT/DINOv2) routes the backward
+    to the bhnd flash vjp (``attention._attention_bnhd_vjp``), so the
+    layout win is inference-only but grads stay correct everywhere.
     """
     B, N, C = x.shape
     H = cfg.num_heads

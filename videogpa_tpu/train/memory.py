@@ -152,7 +152,13 @@ def aot_train_memory(
         "platform": mesh.devices.flat[0].platform,
         "mesh": {a: int(s) for a, s in zip(mesh.axis_names, mesh.devices.shape)},
         "global_batch_pairs": B,
-        "tokens": cfg.sample_frames
+        # DiT tokens as the train step actually sees them: the trainer trims
+        # F to a multiple of patch_size_t (trainer.py:151-156) and the 1.5
+        # models patchify temporally by patch_size_t
+        "tokens": (
+            (cfg.sample_frames - cfg.sample_frames % (cfg.patch_size_t or 1))
+            // (cfg.patch_size_t or 1)
+        )
         * (cfg.sample_height // cfg.patch_size)
         * (cfg.sample_width // cfg.patch_size)
         + cfg.max_text_seq_length,
@@ -166,6 +172,30 @@ def aot_train_memory(
         "alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
     }
     return stats
+
+
+def aot_cog15_train_memory(
+    mesh: Optional[Mesh] = None,
+    batch_size: int = 2,
+    attn_impl: str = "flash",
+) -> Dict[str, Any]:
+    """AOT memory proof for the CogVideoX1.5-5B DPO train step — the hardest
+    memory case in the system: 81f@768x1360 latents at patch_size_t=2 give
+    (20 trimmed frames / 2) x 48 x 85 = 40,800 video tokens + 226 text =
+    41,026 DiT tokens per forward, 2.3x the 49f step.  The reference trains
+    this recipe on 8 GPUs (``train/CogVideoX1.5-5B/03_train.py:54,95``,
+    max_steps 1500); this proves the sharded TP step fits the v5e:2x4
+    topology the same way :func:`aot_train_memory` proves the 49f step.
+    """
+    cfg = CogVideoXConfig.cogvideox_1_5_5b()
+    tcfg = TrainerConfig(
+        lora_rank=64,
+        lora_alpha=128.0,
+        compute_dtype=jnp.bfloat16,
+        remat=True,
+        attn_impl=attn_impl,
+    )
+    return aot_train_memory(cfg=cfg, tcfg=tcfg, mesh=mesh, batch_size=batch_size)
 
 
 def aot_wan_train_memory(
@@ -262,5 +292,19 @@ if __name__ == "__main__":
     # the first jnp op initializes the (slow, remote) axon device client.
     jax.config.update("jax_platforms", "cpu")
     which = sys.argv[1] if len(sys.argv) > 1 else "cogvideox"
-    fn = aot_wan_train_memory if which == "wan" else aot_train_memory
-    print(json.dumps(fn(), indent=2))
+    fn = {
+        "wan": aot_wan_train_memory,
+        "cog15": aot_cog15_train_memory,
+    }.get(which, aot_train_memory)
+    kwargs = {}
+    if len(sys.argv) > 2:  # e.g. "1x8" or "2x4@v5e:2x4" -> dp (tp fills rest)
+        spec = sys.argv[2]
+        topo = "v5e:2x4"
+        if "@" in spec:
+            spec, topo = spec.split("@")
+        kwargs["mesh"] = tpu_topology_mesh(
+            topology=topo, dp=int(spec.split("x")[0])
+        )
+    if len(sys.argv) > 3:  # global batch pairs
+        kwargs["batch_size"] = int(sys.argv[3])
+    print(json.dumps(fn(**kwargs), indent=2))
