@@ -188,3 +188,81 @@ class TestDA3Quant:
         o1 = da3_forward(params, imgs, cfg, attn_impl="xla")
         o2 = da3_forward(qparams, imgs, cfg, attn_impl="xla")
         assert _cos(o1["depth"], o2["depth"]) > 0.99
+
+
+class TestInt8RankAgreement:
+    def test_structured_candidates_rank_identically(self):
+        """Production-relevant int8-scoring accuracy: DPO consumes only the
+        ORDERING of candidate clips (reference ``train/dataset.py:156-188``
+        win/lose pair construction), so the signal that must survive
+        quantization is the per-group ranking, not the absolute score.
+
+        Builds the closed-loop e2e test's STRUCTURED candidates — a
+        geometrically-consistent sliding-crop clip plus three graded noise
+        degradations — and scores them with the exact scorer and the full
+        production int8 mode (W8A8 trunk GEMMs + flash_int8 attention).
+        Asserts (a) the exact scorer orders clean best and degradations by
+        amplitude, and (b) the int8 scorer reproduces the exact ordering —
+        every win/lose pair DPO would form agrees. CPU-runnable complement
+        to the bench's reward_int8_rank_agreement driver artifact.
+        """
+        import cv2
+
+        import videogpa_tpu.ops.attention as A
+        from videogpa_tpu.metrics import ConsistencyScore
+        from videogpa_tpu.models.vggt import VGGTConfig, vggt_init
+        from videogpa_tpu.ops.quant import quantize_vggt_int8
+        from videogpa_tpu.reward import VideoProcessor
+
+        vcfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(2), vcfg)
+        vp_exact = VideoProcessor(
+            {"Consistency_Score": ConsistencyScore(None)},
+            params=params, config=vcfg,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        vp_int8 = VideoProcessor(
+            {"Consistency_Score": ConsistencyScore(None)},
+            params=quantize_vggt_int8(params), config=vcfg,
+            attn_impl="flash_int8",
+        )
+
+        # sliding crop over a smooth background = consistent camera motion
+        NF, H, W = 5, 32, 48
+        rng = np.random.default_rng(0)
+        bg = cv2.GaussianBlur(
+            rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8), (0, 0), 3
+        )
+        clean = np.stack([
+            bg[10 + 2 * t:10 + 2 * t + H, 10 + 3 * t:10 + 3 * t + W]
+            for t in range(NF)
+        ])
+        candidates = [clean]
+        for i, amp in enumerate((40, 80, 120)):
+            candidates.append(np.clip(
+                clean.astype(np.int16)
+                + np.random.default_rng(300 + i).integers(
+                    -amp, amp, clean.shape),
+                0, 255,
+            ).astype(np.uint8))
+
+        def score_all(vp):
+            return np.array([
+                float(vp.process_frames(c, [0])[0]["Consistency_Score"])
+                for c in candidates
+            ])
+
+        exact = score_all(vp_exact)
+        old = A.INTERPRET
+        A.INTERPRET = True
+        try:
+            quant = score_all(vp_int8)
+        finally:
+            A.INTERPRET = old
+
+        # (a) exact scorer ranks by degradation (lower = better)
+        assert np.all(np.diff(exact) > 0), exact
+        # (b) the int8 scorer preserves the full ordering — hence every
+        # win/lose pair the DPO dataset would construct
+        np.testing.assert_array_equal(np.argsort(exact), np.argsort(quant)), (
+            exact, quant)
