@@ -179,6 +179,19 @@ def bench_reward(attn_impl="auto", params=None):
         scores = vp.process_frames(frames, thresholds=[0])
     dt = (time.perf_counter() - t0) / n_iter
 
+    # pipelined single-clip (depth 2): dispatch clip i+1 before pulling
+    # clip i — hides upload/dispatch/pull behind device compute while
+    # keeping the reference's one-clip-per-call protocol
+    # (process_frames_async; decomposition in tools/onchip_single_clip.py)
+    handle = vp.process_frames_async(frames, [0])
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        nxt = vp.process_frames_async(frames, [0])
+        handle()
+        handle = nxt
+    dt_pipe = (time.perf_counter() - t0) / n_iter
+    handle()
+
     # batched scoring throughput (K clips per device program) through the
     # fused scored program: backbone + geometry + reprojection + metric
     # scalars in ONE jit, timed to the host-side scalar pull — the real
@@ -208,7 +221,7 @@ def bench_reward(attn_impl="auto", params=None):
     # the RANKING of candidate clips (train/dataset.py win/lose pairs), so
     # rank agreement matters more than absolute score drift
     per_clip = pulled.get("Consistency_Score")
-    return 60.0 / dt, K * 60.0 / dtb, scores[0], per_clip
+    return 60.0 / dt, K * 60.0 / dtb, scores[0], per_clip, 60.0 / dt_pipe
 
 
 def bench_wan(attn_impl="auto", w8a8=False):
@@ -543,8 +556,9 @@ def _run_block(name):
             out["wan_error"] = str(e)[:200]
     elif name == "reward":
         try:
-            single, batched, scores, per_clip = bench_reward()
+            single, batched, scores, per_clip, single_pipe = bench_reward()
             out["reward_clips_per_min"] = round(single, 2)
+            out["reward_clips_per_min_pipelined"] = round(single_pipe, 2)
             out["reward_clips_per_min_batched"] = round(batched, 2)
             out["reward_vs_baseline"] = round(
                 batched / REWARD_BASELINE_CLIPS_PER_MIN, 3
@@ -594,7 +608,7 @@ def _run_block(name):
             # difference; the production signal is rank agreement, since DPO
             # consumes only the ORDERING of candidate clips,
             # train/dataset.py win/lose pair construction)
-            s8, b8, scores8, per_clip8 = bench_reward(attn_impl="flash_int8")
+            s8, b8, scores8, per_clip8, _ = bench_reward(attn_impl="flash_int8")
             out["reward_int8_clips_per_min_batched"] = round(b8, 2)
             out["reward_int8_vs_baseline"] = round(
                 b8 / REWARD_BASELINE_CLIPS_PER_MIN, 3
@@ -847,6 +861,7 @@ def main():
         ("reward", {
             "clips_per_min": "reward_clips_per_min_batched",
             "clips_per_min_single": "reward_clips_per_min",
+            "clips_per_min_single_pipelined": "reward_clips_per_min_pipelined",
             "vs_baseline": "reward_vs_baseline",
             "int8_clips_per_min": "reward_int8_clips_per_min_batched",
             "int8_vs_baseline": "reward_int8_vs_baseline",

@@ -191,3 +191,75 @@ class TestBatchedScoring:
         # resume with batching: nothing re-scored
         stats2 = score_groups(vp, data, out_json, num_frames=4, batch_size=2)
         assert stats2["resumed"] == 2 and stats2["scored"] == 0
+
+
+class TestPipelinedSingleClip:
+    """Depth-2 single-clip pipelining (process_frames_async): same scores as
+    the synchronous call, and score_groups' batch_size=1 loop uses it."""
+
+    def test_async_matches_sync(self):
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        vp = VideoProcessor(
+            {"MSE": MSEMetric(),
+             "Consistency_Score": ConsistencyScore(lpips_params=None)},
+            params=params, config=cfg,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        S = cfg.img_size  # square img_size u8 -> the fused raw-upload path
+        frames = np.random.default_rng(0).integers(
+            0, 255, (4, S, S, 3), dtype=np.uint8)
+        sync = vp.process_frames(frames, [0])
+        handle = vp.process_frames_async(frames, [0])
+        got = handle()
+        np.testing.assert_allclose(
+            got[0]["Consistency_Score"], sync[0]["Consistency_Score"],
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            got[0]["motion_norm"], sync[0]["motion_norm"], rtol=1e-5)
+        assert got["_extrinsic"] == sync["_extrinsic"]
+
+    def test_async_rejects_unfused(self):
+        cfg = VGGTConfig.tiny()
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        vp = VideoProcessor(
+            {"MSE": MSEMetric()}, params=params, config=cfg,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        frames = np.random.default_rng(0).integers(
+            0, 255, (4, 60, 80, 3), dtype=np.uint8)  # non-square -> f32 gt
+        with pytest.raises(RuntimeError, match="fused"):
+            vp.process_frames_async(frames, [0])
+
+    def test_score_groups_single_clip_pipelined(self, tmp_path):
+        from videogpa_tpu.cli.score import score_groups
+
+        cfg = VGGTConfig.tiny()
+        S = cfg.img_size
+        rng = np.random.default_rng(1)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"sq{i}.mp4")
+            write_video(
+                p, rng.integers(0, 255, (4, S, S, 3), dtype=np.uint8), fps=8
+            )
+            paths.append(p)
+        params = vggt_init(jax.random.PRNGKey(0), cfg)
+        vp = VideoProcessor(
+            {"Consistency_Score": ConsistencyScore(lpips_params=None)},
+            params=params, config=cfg,
+            compute_dtype=jnp.float32, attn_impl="xla",
+        )
+        data = {"groups": [{"group_id": "g", "videos": [
+            {"video_path": p} for p in paths
+        ]}]}
+        out_json = str(tmp_path / "scored.json")
+        stats = score_groups(vp, data, out_json, num_frames=4, batch_size=1)
+        assert stats == {"scored": 3, "failed": 0, "resumed": 0}
+        # pipelined loop must produce the synchronous path's numbers
+        for v, p in zip(data["groups"][0]["videos"], paths):
+            ref = vp.process(p, [0], num_frames=4)
+            np.testing.assert_allclose(
+                v["consistency_score"], ref[0]["Consistency_Score"],
+                rtol=1e-5)
+            assert np.isfinite(v["motion_norm"])

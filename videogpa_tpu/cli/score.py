@@ -120,6 +120,30 @@ def score_groups(
                 safe_save_json(data, output_json)
         return {"scored": n_done, "failed": n_fail, "resumed": n_skip}
 
+    # single-clip loop (the reference protocol: one clip per call,
+    # train/01_preference_pair.py:169-175) — pipelined at depth 2: clip
+    # i+1's decode + dispatch overlap clip i's device compute + pull
+    # (processor.process_frames_async; decomposition in
+    # tools/onchip_single_clip.py). Falls back to the synchronous call
+    # per clip on any async-path error (per-item isolation).
+    pending = None  # (video, vp_path, full, result_fn)
+
+    def drain(p):
+        nonlocal n_done, n_fail
+        video, vp_path, full, result_fn = p
+        try:
+            apply_result(video, result_fn())
+            n_done += 1
+        except Exception:
+            try:  # sync retry isolates a poisoned dispatch
+                apply_result(video, processor.process(
+                    full, thresholds=list(thresholds), num_frames=num_frames
+                ))
+                n_done += 1
+            except Exception as e2:
+                print(f"  failed {vp_path}: {e2}")
+                n_fail += 1
+
     for gi, group in enumerate(groups):
         for video in group.get("videos", []):
             vp_path = video["video_path"]
@@ -129,14 +153,32 @@ def score_groups(
                 continue
             full = os.path.join(base_dir, vp_path) if base_dir else vp_path
             try:
-                res = processor.process(
-                    full, thresholds=list(thresholds), num_frames=num_frames
+                from videogpa_tpu.data.video_io import sample_uniform_frames
+
+                frames = sample_uniform_frames(full, n_frames=num_frames)
+                result_fn = processor.process_frames_async(
+                    frames, list(thresholds)
                 )
-                apply_result(video, res)
-                n_done += 1
+                if pending is not None:
+                    drain(pending)
+                pending = (video, vp_path, full, result_fn)
             except Exception as e:  # per-item isolation (reference behavior)
-                print(f"  failed {vp_path}: {e}")
-                n_fail += 1
+                if pending is not None:
+                    drain(pending)
+                    pending = None
+                try:
+                    res = processor.process(
+                        full, thresholds=list(thresholds),
+                        num_frames=num_frames,
+                    )
+                    apply_result(video, res)
+                    n_done += 1
+                except Exception as e2:
+                    print(f"  failed {vp_path}: {e2}")
+                    n_fail += 1
+        if pending is not None:
+            drain(pending)
+            pending = None
         safe_save_json(data, output_json)
     return {"scored": n_done, "failed": n_fail, "resumed": n_skip}
 

@@ -306,7 +306,17 @@ class VideoProcessor:
                 return batch_reproject(pts, cols, intr_i, extr_i, H, W, valid=mask,
                                        zbuffer_impl=zbuffer_impl)
 
-            reproj = jax.vmap(per_clip)(extr, intr, depth, conf, colors)
+            # lax.map, NOT vmap: a K-vmapped z-buffer scatter has a
+            # K*10.7 MB destination that spills to HBM and the scalar
+            # read-modify-write loop drops to ~72 M updates/s; serialized
+            # per clip the 10.7 MB dest stays VMEM-resident and the same
+            # scatter runs ~112 M/s (measured 1.46 -> 0.895 s at K=4,
+            # tools/onchip_scatter_raw.py + /tmp probe, round 5). Also
+            # bounds the per-clip O(N_points) projection intermediates
+            # (same reasoning as the per-view lax.map in batch_reproject).
+            reproj = jax.lax.map(
+                lambda t: per_clip(*t), (extr, intr, depth, conf, colors)
+            )
             return {
                 "reprojected": reproj,  # (K, S, 3, H, W)
                 "extrinsic": extr,
@@ -606,6 +616,55 @@ class VideoProcessor:
             )
         results["_extrinsic"] = extr_np.tolist() if extr_np is not None else None
         return results
+
+    def process_frames_async(self, frames_np: np.ndarray, thresholds):
+        """Dispatch single-clip scoring WITHOUT syncing; returns a zero-arg
+        callable that pulls the scalars and assembles the result dict (same
+        schema as :meth:`process_frames`).
+
+        Why: the reference protocol scores one clip per call
+        (``train/01_preference_pair.py:169-175``) and a synchronous loop
+        pays upload + dispatch + pull per clip serially. Dispatching clip
+        i+1 before pulling clip i hides the host round-trips behind device
+        compute (decomposition: tools/onchip_single_clip.py). Only the
+        fused-scoring path supports this (every production metric set does);
+        raises otherwise so callers can fall back to :meth:`process_frames`.
+        """
+        if self.params is None:
+            raise RuntimeError("VideoProcessor needs converted backbone params")
+        if self.backbone == "da3" or (
+            frames_np.shape[1] == frames_np.shape[2]
+            and frames_np.shape[2] in (518, getattr(self.config, "img_size", 518))
+            and frames_np.dtype == np.uint8
+        ):
+            images = jnp.asarray(frames_np[None])
+        else:
+            images = jnp.asarray(preprocess_images_vggt(frames_np))
+        if not self._fused_ok(gt_is_upload=images.dtype == jnp.uint8):
+            raise RuntimeError(
+                "process_frames_async needs the fused scoring path "
+                "(device-computable metrics + raw-upload gt)"
+            )
+        lp = self._fused_lpips_params() or {}
+        pending = []
+        for th in thresholds:
+            run = self._device_fn_scored(float(th), 1)
+            scores, extr = run(self.params, lp, images)  # dispatched only
+            pending.append((th, scores, extr))
+
+        def result() -> Dict[Any, Any]:
+            results: Dict[Any, Any] = {}
+            extr_np = None
+            for th, scores, extr in pending:
+                host = {k: np.asarray(v) for k, v in scores.items()}
+                extr_np = np.asarray(extr)[0]
+                results[th] = self._assemble_fused(host, 0, frames_np)
+            results["_extrinsic"] = (
+                extr_np.tolist() if extr_np is not None else None
+            )
+            return results
+
+        return result
 
     def compute_metrics(
         self, gt_frames, rep_frames, extrinsics, intrinsics=None, depths=None
