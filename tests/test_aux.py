@@ -91,6 +91,7 @@ class TestBench:
         assert rot.max() < 1e-3 and trans.max() < 1e-3
         assert auc_at(rot) > 0.99
 
+    @pytest.mark.slow
     def test_evaluator_with_fixture_scene(self, tmp_path):
         from videogpa_tpu.models.da3 import DA3Config, da3_init
         from videogpa_tpu.models.da3.bench import DATASET_REGISTRY, Evaluator
@@ -127,6 +128,7 @@ class TestBench:
 
 
 class TestServiceBackend:
+    @pytest.mark.slow
     def test_endpoints(self, tmp_path):
         import cv2
 

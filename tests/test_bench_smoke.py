@@ -14,9 +14,41 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_bench_denoise_block_fast():
+    """Default-gate smoke: ONE bench block through the real subprocess
+    orchestration (parent spawns child, merges JSON). The full-scoreboard
+    smokes below are slow-marked; this keeps the driver-facing glue
+    exercised on every default run."""
+    env = dict(os.environ)
+    env.update(
+        VIDEOGPA_BENCH_TINY="1",
+        VIDEOGPA_BENCH_CPU="1",
+        VIDEOGPA_BENCH_WAN="0",
+        VIDEOGPA_BENCH_REWARD="0",
+        VIDEOGPA_BENCH_INT8="0",
+        VIDEOGPA_BENCH_W8A8="0",
+        VIDEOGPA_BENCH_COG15="0",
+        VIDEOGPA_BENCH_TRAIN="0",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["metric"] == "denoise_steps_per_sec_per_chip"
+    assert result["tiny"] is True
+    assert result["value"] > 0, result
+    errors = {k: v for k, v in result.items() if k.endswith("_error")}
+    assert not errors, errors
+
+
+@pytest.mark.slow
 def test_bench_tiny_cpu_end_to_end():
     env = dict(os.environ)
     env.update(
@@ -69,6 +101,7 @@ def test_bench_tiny_cpu_end_to_end():
     assert not errors, errors
 
 
+@pytest.mark.slow
 def test_bench_budget_gates_extras_not_north_stars():
     """With a zero budget the extras (int8/W8A8/cog15) must be skipped and
     recorded, while the three north stars still run — the driver's

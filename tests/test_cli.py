@@ -123,6 +123,7 @@ class TestDA3CLIParsing:
 
 
 class TestGenerationEndToEnd:
+    @pytest.mark.slow
     def test_run_generation_writes_video(self, tmp_path, monkeypatch):
         """Full generate-CLI flow with tiny models: prompts json -> mp4 files."""
         import argparse
@@ -208,6 +209,8 @@ def _make_tiny_generator(cfg, t5_cfg, tokenizer):
 
 
 class TestReplicateScorerE2E:
+    pytestmark = pytest.mark.slow  # excluded from the default gate (pyproject addopts)
+
     @pytest.mark.parametrize(
         "score_batch,score_int8", [("1", "0"), ("2", "0"), ("1", "1")]
     )

@@ -57,6 +57,8 @@ def workspace(tmp_path_factory):
 
 
 class TestEndToEndSlice:
+    pytestmark = pytest.mark.slow  # excluded from the default gate (pyproject addopts)
+
     def test_phase1_to_phase3(self, workspace):
         base = workspace
         # ---------------- phase 1: geometry-reward scoring ----------------
@@ -154,6 +156,8 @@ class TestEndToEndSlice:
 
 
 class TestClosedLoopDPO:
+    pytestmark = pytest.mark.slow  # excluded from the default gate (pyproject addopts)
+
     """The product claim, closed at tiny scale: score candidates with the
     geometry reward -> build win/lose pairs FROM THE SCORES -> DPO -> the
     policy's fresh samples move toward the preferred (higher-reward)

@@ -59,6 +59,7 @@ class TestVGGTFullLayout:
     @pytest.mark.skipif(
         not os.path.isdir(os.path.join(REF, "vggt")), reason="reference absent"
     )
+    @pytest.mark.slow
     def test_convert_vggt_consumes_real_1b_layout(self):
         if REF not in sys.path:
             sys.path.insert(0, REF)

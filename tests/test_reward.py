@@ -231,6 +231,7 @@ class TestPipelinedSingleClip:
         with pytest.raises(RuntimeError, match="fused"):
             vp.process_frames_async(frames, [0])
 
+    @pytest.mark.slow
     def test_score_groups_single_clip_pipelined(self, tmp_path):
         from videogpa_tpu.cli.score import score_groups
 

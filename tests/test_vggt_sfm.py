@@ -113,6 +113,7 @@ class TestColmapInterop:
 
 
 class TestPredictTracks:
+    @pytest.mark.slow
     def test_smoke_on_tiny_vggt(self):
         from videogpa_tpu.models.vggt.config import VGGTConfig
         from videogpa_tpu.models.vggt.heads import dpt_head_init
@@ -148,6 +149,7 @@ class TestPredictTracks:
 
 
 class TestPredictTracksVGGSfM:
+    @pytest.mark.slow
     def test_predict_tracks_on_vggsfm_tracker(self):
         """predict_tracks drives the rebuilt VGGSfM tracker when
         tracker_params is given (reference track_predict.py:56,220)."""

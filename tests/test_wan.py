@@ -72,6 +72,7 @@ class TestWanDiT:
 
 
 class TestWanVAE:
+    @pytest.mark.slow
     def test_roundtrip_shapes(self):
         cfg = WanConfig.tiny()
         params = wan_vae_init(jax.random.PRNGKey(0), cfg)

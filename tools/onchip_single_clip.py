@@ -7,14 +7,17 @@ the ~1.69 s/clip into its parts:
 
   1. upload_8mb      — the per-call (1, 10, 518, 518, 3) uint8 host->device
      transfer (the tunnel moves ~50 MB/s; a local TPU host would not pay)
-  2. program_chained — K=1 fused scored program device time, measured by
-     chaining R applications inside ONE jit (dispatch/tunnel overhead
-     amortized to 1/R; the tools/onchip_r3.py pattern)
-  3. sync_per_call   — R separate dispatches, synced per call (the
-     production loop today)
-  4. dispatch_pipelined — R dispatches issued back-to-back, synced once:
-     what an async scoring loop would get from dispatch pipelining alone
-  5. full_call       — vp.process_frames end to end (the bench number)
+  2. sync_per_call   — R separate dispatches, synced per call (the
+     production loop before round 5)
+  3. dispatch_pipelined — R dispatches issued back-to-back, synced once:
+     what the round-5 async scoring loop (process_frames_async) gets
+  4. full_call       — vp.process_frames end to end (the bench number)
+
+NOTE: a chained-in-jit variant (R full scored programs in one fori_loop,
+the tools/onchip_r3.py pattern) CRASHED the TPU worker — the pattern is
+for kernels and small programs, not a full backbone+geometry+metrics
+graph (CLAUDE.md "TPU measurement"). Dispatch pipelining bounds the
+per-call overhead instead.
 
 Run: PYTHONPATH=/root/repo python tools/onchip_single_clip.py
 """
@@ -74,27 +77,7 @@ def main():
     sc, _ = run(vp.params, lp, images)
     {k: np.asarray(v) for k, v in sc.items()}  # warm (host pull)
 
-    # 2. chained-in-jit device time: R applications, each consuming a
-    # scalar from the previous output so XLA cannot parallelize them
-    @jax.jit
-    def chained(p, lp, images):
-        def body(i, carry):
-            img = images + carry.astype(images.dtype)
-            sc, _ = run(p, lp, img)  # nested jit inlines
-            return (sc["Consistency_Score"].ravel()[0] * 0).astype(jnp.uint8)
-        return jax.lax.fori_loop(0, R, body, jnp.uint8(0))
-
-    out = chained(vp.params, lp, images)
-    float(np.asarray(out.astype(jnp.float32)))
-    ts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = chained(vp.params, lp, images)
-        float(np.asarray(out.astype(jnp.float32)))
-        ts.append(time.perf_counter() - t0)
-    rec("program_chained_per_clip", min(ts) / R)
-
-    # 3. R separate dispatches, sync per call (production loop today)
+    # 2. R separate dispatches, sync per call (pre-round-5 production loop)
     ts = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -129,11 +112,9 @@ def main():
         "clips_per_min_full": round(60.0 / results["full_call_per_clip"], 2),
         "clips_per_min_pipelined": round(
             60.0 / results["dispatch_pipelined_per_clip"], 2),
-        "clips_per_min_device_floor": round(
-            60.0 / results["program_chained_per_clip"], 2),
         "per_call_overhead_s": round(
             results["sync_per_call_per_clip"]
-            - results["program_chained_per_clip"], 4),
+            - results["dispatch_pipelined_per_clip"], 4),
     }), flush=True)
 
 
