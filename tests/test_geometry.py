@@ -4,6 +4,8 @@ Oracles: numpy closed forms and torch (CPU) where the reference semantics are
 defined by torch ops (resize pixel models, grid_sample).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -386,3 +388,96 @@ class TestResize:
         )[0, 0].numpy()
         got = np.asarray(grid_sample_bilinear(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestZbufferKernel:
+    """The tiered windowed Pallas scatter-min (geometry/zbuffer_kernel.py)
+    must be bit-identical to the XLA scatter lowering in every tier."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self, monkeypatch):
+        from videogpa_tpu.geometry import zbuffer_kernel
+
+        monkeypatch.setattr(zbuffer_kernel, "INTERPRET", True)
+        monkeypatch.setenv("VIDEOGPA_ZBUFFER_KERNEL", "1")
+        yield
+
+    @staticmethod
+    def _oracle(lin, key, n_slots):
+        buf = np.full((n_slots,), 0xFFFFFFFF, np.uint32)
+        np.minimum.at(buf, lin, key)
+        return buf
+
+    def test_tier_mix_matches_scatter(self):
+        """Chunks engineered to hit every tier: coherent (w1024), medium
+        (w4096), scattered (serial), all-invalid, plus a ragged tail."""
+        from videogpa_tpu.geometry.zbuffer_kernel import scatter_min_u32
+
+        rng = np.random.default_rng(3)
+        n_slots = 9000
+        pieces = []
+        # tier 0: tight window
+        base = 1200
+        pieces.append(base + rng.integers(0, 900, 1024))
+        # tier 1: medium window
+        pieces.append(2000 + rng.integers(0, 3900, 1024))
+        # tier 2: full-range scatter
+        pieces.append(rng.integers(0, n_slots, 1024))
+        # all-invalid chunk (keys forced to sentinel below)
+        pieces.append(rng.integers(0, n_slots, 1024))
+        # ragged tail (forces padding)
+        pieces.append(rng.integers(0, n_slots, 500))
+        lin = np.concatenate(pieces).astype(np.int32)
+        key = rng.integers(0, 1 << 32, lin.shape[0], dtype=np.uint64).astype(
+            np.uint32
+        )
+        key[3 * 1024 : 4 * 1024] = 0xFFFFFFFF  # the all-invalid chunk
+        # sprinkle invalid points into valid chunks too
+        key[rng.integers(0, lin.shape[0], 200)] = 0xFFFFFFFF
+
+        got = np.asarray(
+            scatter_min_u32(jnp.asarray(lin), jnp.asarray(key), n_slots)
+        )
+        np.testing.assert_array_equal(got, self._oracle(lin, key, n_slots))
+
+    def test_duplicate_addresses_and_ties(self):
+        """Heavy duplicate addresses (the dump-slot / coherent-run case)."""
+        from videogpa_tpu.geometry.zbuffer_kernel import scatter_min_u32
+
+        rng = np.random.default_rng(4)
+        n_slots = 4096
+        lin = rng.integers(0, 32, 2048).astype(np.int32)  # 64x duplication
+        key = rng.integers(0, 1 << 32, 2048, dtype=np.uint64).astype(np.uint32)
+        got = np.asarray(
+            scatter_min_u32(jnp.asarray(lin), jnp.asarray(key), n_slots)
+        )
+        np.testing.assert_array_equal(got, self._oracle(lin, key, n_slots))
+
+    def test_packed_reproject_kernel_lowering_identical(self):
+        """End-to-end: reproject_views_packed with the kernel lowering is
+        bit-identical to the XLA scatter lowering on a real projection."""
+        from videogpa_tpu.geometry import zbuffer_kernel
+        from videogpa_tpu.geometry.projection import reproject_views_packed
+
+        rng = np.random.default_rng(5)
+        n, H, W = 3000, 20, 24
+        points = rng.standard_normal((n, 3)).astype(np.float32)
+        points[:, 2] += 5.0
+        colors = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+        Ks = np.tile(
+            np.array([[16.0, 0, W / 2], [0, 16.0, H / 2], [0, 0, 1]],
+                     np.float32),
+            (2, 1, 1),
+        )
+        Es = np.stack([
+            np.concatenate([np.eye(3), np.zeros((3, 1))], 1),
+            np.concatenate([np.eye(3), np.array([[0.2], [0], [0.5]])], 1),
+        ]).astype(np.float32)
+        valid = rng.uniform(size=n) > 0.1
+
+        args = (jnp.asarray(points), jnp.asarray(colors), jnp.asarray(Ks),
+                jnp.asarray(Es), H, W, jnp.asarray(valid))
+        with_kernel = np.asarray(reproject_views_packed(*args))
+        os.environ["VIDEOGPA_ZBUFFER_KERNEL"] = "0"
+        without = np.asarray(reproject_views_packed(*args))
+        np.testing.assert_array_equal(with_kernel, without)

@@ -236,8 +236,17 @@ def reproject_views_packed(
     # dump slot so shapes stay static under jit
     view_base = jax.lax.broadcasted_iota(jnp.int32, (T, n), 0) * (n_px + 1)
     lin = view_base + jnp.where(ok, v * W + u, n_px)
-    buf = jnp.full((T * (n_px + 1),), sentinel, jnp.uint32)
-    buf = buf.at[lin.reshape(-1)].min(key.reshape(-1))
+    from videogpa_tpu.geometry import zbuffer_kernel
+
+    if zbuffer_kernel.use_kernel():
+        # tiered windowed Pallas lowering — bit-identical output, ~2-4x the
+        # XLA scatter on coherent projections (see zbuffer_kernel.py)
+        buf = zbuffer_kernel.scatter_min_u32(
+            lin.reshape(-1), key.reshape(-1), T * (n_px + 1)
+        )
+    else:
+        buf = jnp.full((T * (n_px + 1),), sentinel, jnp.uint32)
+        buf = buf.at[lin.reshape(-1)].min(key.reshape(-1))
 
     win = buf.reshape(T, n_px + 1)[:, :n_px]
     hit = win != sentinel
