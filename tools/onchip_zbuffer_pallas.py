@@ -26,10 +26,16 @@ plus an exactness check of every kernel against numpy minimum.at.
 CPU validation: VIDEOGPA_INTERPRET=1 runs tiny shapes through the Pallas
 interpreter.
 
-Run: PYTHONPATH=/root/repo python tools/onchip_zbuffer_pallas.py
+MEASURED (2026-08-20, v5e): scatter 19.3 cycles/update; windowed kernel
+4.1 / 6.1 / 9.8 at Wn = 1024 / 2048 / 4096 (fast-path speedup 4.7x at
+1024); in-kernel serial 47.1. The production verdict on projection-shaped
+streams is NEGATIVE — see tools/onchip_zbuffer_prod.py and
+geometry/zbuffer_kernel.py (chunk destination footprints span thousands of
+slots, ~70% of chunks exceed every window).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/onchip_zbuffer_pallas.py
 """
 
-import functools
 import json
 import os
 import sys
