@@ -111,6 +111,9 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
 
     while step < tcfg.max_steps:
         order = rng.permutation(train_idx)
+        # drop-last batching (the reference's DataLoader yields a final
+        # partial batch): a partial batch is a second static shape -> a
+        # second XLA compile; shuffled epochs cover every pair anyway
         for i in range(0, len(order) - batch_size + 1, batch_size):
             batch = make_batch(order[i : i + batch_size])
             key, sub = jax.random.split(key)
@@ -218,6 +221,9 @@ def train_wan_dpo(config: dict):
     batch_size = config.get("batch_size", 1)
     while step < tcfg.max_steps:
         order = rng.permutation(train_idx)
+        # drop-last batching (the reference's DataLoader yields a final
+        # partial batch): a partial batch is a second static shape -> a
+        # second XLA compile; shuffled epochs cover every pair anyway
         for i in range(0, len(order) - batch_size + 1, batch_size):
             batch = make_batch(order[i : i + batch_size])
             key, sub = jax.random.split(key)
