@@ -732,7 +732,7 @@ def _spawn_block(name, timeout_s):
             try:
                 return json.loads(line), None
             except json.JSONDecodeError:
-                break
+                continue  # stray '{'-line after the result; keep scanning up
     tail = (proc.stderr or "")[-250:].replace("\n", " ")
     return None, f"block subprocess rc={proc.returncode}: {tail}"
 
@@ -785,18 +785,28 @@ def main():
         else:
             timeout_s = max(600.0, remaining)
         out, err = _spawn_block(name, timeout_s)
+
         # transient-OOM retry: a child that starts before the PREVIOUS
         # child's HBM is released server-side can die RESOURCE_EXHAUSTED
         # even though the block fits a fresh chip (observed r05: the cog15
         # w8a8 block OOMed in-sequence, then ran clean standalone at 1.307).
-        # One retry after a settle delay recovers it.
-        blob = (err or "") + json.dumps(out or {})
-        if "RESOURCE_EXHAUSTED" in blob:
+        # One retry after a settle delay recovers it. The check keys on the
+        # block's OWN error (child crash or its <block>_error key), NOT on
+        # the string appearing anywhere in the JSON: informational keys like
+        # cog15_batched_error coexist with a VALID sequential-fallback result
+        # and must not trigger a duplicate multi-minute run.
+        def _oom_failed(o, e):
+            if e is not None and "RESOURCE_EXHAUSTED" in e:
+                return True
+            return o is not None and "RESOURCE_EXHAUSTED" in str(
+                o.get(error_key, ""))
+
+        if _oom_failed(out, err):
             print(f"bench: {label} hit RESOURCE_EXHAUSTED; retrying once "
                   f"after settle", file=sys.stderr, flush=True)
             time.sleep(45)
             out2, err2 = _spawn_block(name, timeout_s)
-            if err2 is None and "RESOURCE_EXHAUSTED" not in json.dumps(out2):
+            if err2 is None and not _oom_failed(out2, err2):
                 out, err = out2, err2
         if err is not None:
             result[error_key] = err[:200]

@@ -164,3 +164,42 @@ def test_bench_retries_transient_resource_exhausted(monkeypatch, capsys):
     assert calls["n"] == 2
     assert out["value"] == 0.5
     assert "denoise_error" not in out
+
+
+def test_bench_fallback_success_is_not_retried(monkeypatch, capsys):
+    """A block that SUCCEEDED via its sequential fallback carries an
+    informational ``*_batched_error`` mentioning RESOURCE_EXHAUSTED next to
+    a valid result — the retry keys on the block's own error key, so this
+    must NOT trigger a duplicate multi-minute run."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    calls = {"n": 0}
+
+    def fake_spawn(name, timeout_s):
+        calls[name] = calls.get(name, 0) + 1
+        calls["n"] += 1
+        if name == "cog15":
+            return {
+                "cog15_steps_per_sec": 0.033,
+                "cog15_mode": "sequential",
+                "cog15_batched_error": "RESOURCE_EXHAUSTED: batched pair "
+                                       "does not fit",
+            }, None
+        return {"value": 0.5, "vs_baseline": 3.333}, None
+
+    monkeypatch.setattr(bench, "_spawn_block", fake_spawn)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    for var in ("WAN", "REWARD", "INT8", "W8A8", "TRAIN", "OVERLAP"):
+        monkeypatch.setenv(f"VIDEOGPA_BENCH_{var}", "0")
+    monkeypatch.setenv("VIDEOGPA_BENCH_COG15", "1")  # w8a8 off gates cog15 w8a8
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+
+    bench.main()
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert calls["cog15"] == 1, calls  # no duplicate run
+    assert out["cog15_steps_per_sec"] == 0.033
+    assert "RESOURCE_EXHAUSTED" in out["cog15_batched_error"]

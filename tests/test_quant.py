@@ -264,5 +264,6 @@ class TestInt8RankAgreement:
         assert np.all(np.diff(exact) > 0), exact
         # (b) the int8 scorer preserves the full ordering — hence every
         # win/lose pair the DPO dataset would construct
-        np.testing.assert_array_equal(np.argsort(exact), np.argsort(quant)), (
-            exact, quant)
+        np.testing.assert_array_equal(
+            np.argsort(exact), np.argsort(quant),
+            err_msg=f"exact scores {exact} vs int8 scores {quant}")

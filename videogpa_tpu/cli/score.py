@@ -126,18 +126,32 @@ def score_groups(
     # (processor.process_frames_async; decomposition in
     # tools/onchip_single_clip.py). Falls back to the synchronous call
     # per clip on any async-path error (per-item isolation).
-    pending = None  # (video, vp_path, full, result_fn)
+    pending = None  # (video, vp_path, frames, result_fn)
+    async_err_noted = False
+
+    def note_async_error(e):
+        # a systematic async-path failure (e.g. an unfusable metric set or
+        # VIDEOGPA_NO_FUSED_METRICS=1) degrades EVERY clip to the synchronous
+        # path — say so once, with the actual error, instead of silently
+        # paying the fallback for the whole run
+        nonlocal async_err_noted
+        if not async_err_noted:
+            async_err_noted = True
+            print(f"  async scoring unavailable ({e}); "
+                  f"using the synchronous per-clip path")
 
     def drain(p):
         nonlocal n_done, n_fail
-        video, vp_path, full, result_fn = p
+        video, vp_path, frames, result_fn = p
         try:
             apply_result(video, result_fn())
             n_done += 1
-        except Exception:
-            try:  # sync retry isolates a poisoned dispatch
-                apply_result(video, processor.process(
-                    full, thresholds=list(thresholds), num_frames=num_frames
+        except Exception as e:
+            note_async_error(e)
+            try:  # sync retry isolates a poisoned dispatch; the decoded
+                # frames are host-side and not suspect, so reuse them
+                apply_result(video, processor.process_frames(
+                    frames, list(thresholds)
                 ))
                 n_done += 1
             except Exception as e2:
@@ -152,6 +166,7 @@ def score_groups(
                 n_skip += 1
                 continue
             full = os.path.join(base_dir, vp_path) if base_dir else vp_path
+            frames = None
             try:
                 from videogpa_tpu.data.video_io import sample_uniform_frames
 
@@ -161,16 +176,23 @@ def score_groups(
                 )
                 if pending is not None:
                     drain(pending)
-                pending = (video, vp_path, full, result_fn)
+                pending = (video, vp_path, frames, result_fn)
             except Exception as e:  # per-item isolation (reference behavior)
+                if frames is not None:  # decode succeeded; async dispatch died
+                    note_async_error(e)
                 if pending is not None:
                     drain(pending)
                     pending = None
                 try:
-                    res = processor.process(
-                        full, thresholds=list(thresholds),
-                        num_frames=num_frames,
-                    )
+                    if frames is None:
+                        # the decode itself failed — retry from the file
+                        res = processor.process(
+                            full, thresholds=list(thresholds),
+                            num_frames=num_frames,
+                        )
+                    else:
+                        # reuse the decoded frames: no double decode+preprocess
+                        res = processor.process_frames(frames, list(thresholds))
                     apply_result(video, res)
                     n_done += 1
                 except Exception as e2:

@@ -103,11 +103,22 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
         state = TrainState(**restored)
         step = int(np.asarray(state.step))
         print(f"resumed from {latest} at step {step}")
+    # throughput counts steps taken by THIS process: dividing the global
+    # step by this process's elapsed time would inflate samples/sec after
+    # a checkpoint resume
+    step0 = step
 
     def make_batch(indices):
         items = [ds[int(i)] for i in indices]
         b = collate(items)
         return {k: jnp.asarray(v) for k, v in b.items() if k != "prompt"}
+
+    if len(train_idx) < batch_size:
+        # drop-last batching below would yield zero batches per epoch and
+        # the while loop would spin forever without taking a step
+        raise ValueError(
+            f"batch_size={batch_size} exceeds the {len(train_idx)}-pair "
+            f"training set; drop-last batching would never yield a batch")
 
     while step < tcfg.max_steps:
         order = rng.permutation(train_idx)
@@ -121,7 +132,8 @@ def train_dpo(config: dict, cog_cfg, i2v: bool = False):
             step += 1
             if step % log_every == 0:
                 m = {f"train/{k}": float(v) for k, v in metrics.items()}
-                m["stats/samples_per_sec"] = logger.throughput(step, batch_size)
+                m["stats/samples_per_sec"] = logger.throughput(
+                    step - step0, batch_size)
                 m["stats/max_memory_gb"] = _peak_memory_gb()
                 logger.log(step, m)
                 print(f"step {step}: loss={m['train/loss']:.4f} "
@@ -210,6 +222,8 @@ def train_wan_dpo(config: dict):
         state = TrainState(**ckpt.restore(latest, _state_dict(state)))
         step = int(np.asarray(state.step))
         print(f"resumed from {latest} at step {step}")
+    # steps taken by THIS process, for samples/sec (see train_dpo)
+    step0 = step
 
     def make_batch(indices):
         items = [ds[int(i)] for i in indices]
@@ -219,6 +233,11 @@ def train_wan_dpo(config: dict):
     # honor a batch_size override like train_dpo does (recipe default is 1;
     # Wan2.2-TI2V-5B/03_train.py trains at batch 1 with accumulation 2)
     batch_size = config.get("batch_size", 1)
+    if len(train_idx) < batch_size:
+        # drop-last batching would never yield a batch -> silent spin
+        raise ValueError(
+            f"batch_size={batch_size} exceeds the {len(train_idx)}-pair "
+            f"training set; drop-last batching would never yield a batch")
     while step < tcfg.max_steps:
         order = rng.permutation(train_idx)
         # drop-last batching (the reference's DataLoader yields a final
@@ -231,7 +250,8 @@ def train_wan_dpo(config: dict):
             step += 1
             if step % config["log_every_n_steps"] == 0:
                 m = {f"train/{k}": float(v) for k, v in metrics.items()}
-                m["stats/samples_per_sec"] = logger.throughput(step, batch_size)
+                m["stats/samples_per_sec"] = logger.throughput(
+                    step - step0, batch_size)
                 logger.log(step, m)
             if step % config["checkpoint_every_n_steps"] == 0 \
                     or step >= tcfg.max_steps:

@@ -179,7 +179,7 @@ def reproject_views_packed(
       quantization ties.
 
     Exactness: winners match the exact scatter wherever per-pixel depth
-    gaps exceed the quantum (z-range / (2^zq_bits - 1); 1/1023 of range at
+    gaps exceed the quantum (z-range / (2^zq_bits - 2); 1/1022 of range at
     the default 22-bit id field). Where two points fall in the same depth
     bucket the LOWER-ID one wins even if marginally farther — a sub-quantum
     occlusion flip with no effect at the metric level. This is the scorer's
@@ -190,17 +190,20 @@ def reproject_views_packed(
 
     The id field widens with the (static) cloud size — pid_bits =
     max(22, bits(n)), depth keeps the remaining 32 - pid_bits — down to a
-    floor of 9 depth bits. Clouds of n >= 2^24 points (~64 frames at 518²)
-    raise a ValueError here; ``batch_reproject`` applies the same cutoff
-    and falls back to the exact scatter instead of raising.
+    floor of 8 depth bits: clouds with n in (2^23, 2^24) run with an 8-bit
+    quantum (1/254 of the z-range), the coarsest this lowering serves.
+    Clouds of n >= 2^24 points (~64 frames at 518²) raise a ValueError
+    here; ``batch_reproject`` applies the same cutoff and falls back to
+    the exact scatter instead of raising.
     """
     T = intrinsics.shape[0]
     n = points.shape[0]
     n_px = H * W
     if n >= (1 << 24):
-        # same boundary as batch_reproject's fallback: at n = 2^24 the id
-        # field would eat 24 bits, leaving an 8-bit depth quantum we don't
-        # trust for occlusion ordering.
+        # same boundary as batch_reproject's fallback: beyond 2^24 the id
+        # field needs 25+ bits, leaving <= 7 depth bits — coarser than the
+        # 8-bit floor this lowering serves (n = 2^24 itself is excluded so
+        # the two functions share ONE cutoff).
         raise ValueError(
             f"packed z-buffer supports < {1 << 24} points (got {n}): the id "
             f"field would leave too few depth bits; use zbuffer_impl='scatter'"

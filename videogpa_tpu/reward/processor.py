@@ -561,6 +561,22 @@ class VideoProcessor:
                 r[name] = float(host[name][i])
         return r
 
+    def _prep_single(self, frames_np: np.ndarray) -> jax.Array:
+        """Single-clip image prep shared by :meth:`process_frames` and
+        :meth:`process_frames_async` (one place so the raw-upload condition
+        cannot drift between the sync path and the async path that claims
+        schema parity with it): da3 and already-518-square uint8 inputs ride
+        the raw uint8 upload (ImageNet/VGGT normalization happens on device —
+        4x less tunnel traffic than host-side f32); anything else goes
+        through the host VGGT preprocess."""
+        if self.backbone == "da3":
+            return jnp.asarray(frames_np[None])
+        if (frames_np.shape[1] == frames_np.shape[2]
+                and frames_np.shape[2] in (518, getattr(self.config, "img_size", 518))
+                and frames_np.dtype == np.uint8):
+            return jnp.asarray(frames_np[None])
+        return jnp.asarray(preprocess_images_vggt(frames_np))
+
     def process_frames(
         self,
         frames_np: np.ndarray,
@@ -575,17 +591,7 @@ class VideoProcessor:
                 "(videogpa_tpu.models.vggt.convert.convert_vggt / "
                 "videogpa_tpu.models.da3.convert.convert_da3)"
             )
-        if self.backbone == "da3":
-            # raw uint8 upload; ImageNet normalization happens on device
-            images = jnp.asarray(frames_np[None])
-        elif (frames_np.shape[1] == frames_np.shape[2]
-              and frames_np.shape[2] in (518, getattr(self.config, "img_size", 518))
-              and frames_np.dtype == np.uint8):
-            # fast path: already 518x518 -> raw uint8 upload, normalize on
-            # device (4x less tunnel traffic than host-side f32)
-            images = jnp.asarray(frames_np[None])
-        else:
-            images = jnp.asarray(preprocess_images_vggt(frames_np))
+        images = self._prep_single(frames_np)
 
         results: Dict[Any, Any] = {}
         extr_np = None
@@ -632,14 +638,7 @@ class VideoProcessor:
         """
         if self.params is None:
             raise RuntimeError("VideoProcessor needs converted backbone params")
-        if self.backbone == "da3" or (
-            frames_np.shape[1] == frames_np.shape[2]
-            and frames_np.shape[2] in (518, getattr(self.config, "img_size", 518))
-            and frames_np.dtype == np.uint8
-        ):
-            images = jnp.asarray(frames_np[None])
-        else:
-            images = jnp.asarray(preprocess_images_vggt(frames_np))
+        images = self._prep_single(frames_np)
         if not self._fused_ok(gt_is_upload=images.dtype == jnp.uint8):
             raise RuntimeError(
                 "process_frames_async needs the fused scoring path "
