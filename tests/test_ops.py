@@ -539,6 +539,58 @@ class TestRingFlashRagged:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_partial_shard_block_aligned_prefix(self):
+        """Regression: a partial shard whose valid prefix is a MULTIPLE of
+        block_k but shorter than the block-padded key length must still mask
+        the zero-pad keys. The old trace-time skip keyed on
+        ``n_valid % block_k != 0``, so nv=128 with the shard padded 129->256
+        let 128 zero-keys into the softmax unmasked (measured maxerr ~9e-2
+        at ring scale); the fix compares nv against the padded Nk."""
+        from videogpa_tpu.ops.ring_attention import _attn_with_lse_flash
+
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+        B, H, Nq, Nk, D = 1, 2, 64, 129, 64
+        q = jax.random.normal(kq, (B, H, Nq, D))
+        k = jax.random.normal(kk, (B, H, Nk, D))
+        v = jax.random.normal(kv, (B, H, Nk, D))
+        nv = 128  # multiple of block_k=128; shard pads to Nk_p=256
+        o, _lse = _attn_with_lse_flash(q, k, v, n_valid=nv, block_k=128)
+        ref = mha_reference(q, k[:, :, :nv], v[:, :, :nv])
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bwd_partial_shard_block_aligned_prefix(self):
+        """Backward regression for the same boundary: Nk=1025 pads to 2048
+        with bk=1024, so nv=1024 is block-aligned but half the padded keys
+        are invalid — dq/dk/dv must match the masked reference and the
+        padding row's dk/dv must vanish."""
+        from videogpa_tpu.ops.ring_attention import (
+            _attn_with_lse_flash, _bwd_step_flash)
+
+        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(8), 4)
+        B, H, Nq, Nk, D = 1, 2, 64, 1025, 64
+        nv = 1024
+        q = jax.random.normal(kq, (B, H, Nq, D))
+        k = jax.random.normal(kk, (B, H, Nk, D))
+        v = jax.random.normal(kv, (B, H, Nk, D))
+        g = jax.random.normal(kg, (B, H, Nq, D))
+
+        o, lse = _attn_with_lse_flash(q, k, v, n_valid=nv)
+        dq, dk, dv = _bwd_step_flash(q, k, v, g, o, lse, n_valid=nv)
+
+        def loss(q, kv_, vv):
+            return jnp.sum(mha_reference(q, kv_, vv) * g)
+
+        rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(
+            q, k[:, :, :nv], v[:, :, :nv])
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(dk[:, :, :nv]), np.asarray(rk), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(dv[:, :, :nv]), np.asarray(rv), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(dk[:, :, nv:]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dv[:, :, nv:]), 0.0, atol=1e-6)
+
     def test_gradients_match_reference(self):
         from videogpa_tpu.ops.ring_attention import ring_attention_sharded
         from videogpa_tpu.parallel.mesh import MeshAxes, make_mesh

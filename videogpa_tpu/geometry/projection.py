@@ -56,8 +56,10 @@ def project_points_zbuffer(
     R = E[:3, :3]
     t = E[:3, 3]
 
-    pc_cam = points @ R.T + t
-    pc_proj = pc_cam @ K.T
+    # f32 accumulation per the repo matmul policy (CLAUDE.md): pixel coords
+    # reach ~W, where bf16 ulp is whole pixels
+    pc_cam = jnp.matmul(points, R.T, preferred_element_type=jnp.float32) + t
+    pc_proj = jnp.matmul(pc_cam, K.T, preferred_element_type=jnp.float32)
 
     z = pc_proj[:, 2]
     u = jnp.round(pc_proj[:, 0] / (z + 1e-8)).astype(jnp.int32)
@@ -90,7 +92,7 @@ def project_points_zbuffer(
     return px.reshape(H, W, 3)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "zbuffer_impl"))
+@partial(jax.jit, static_argnames=("H", "W", "zbuffer_impl", "unit_colors"))
 def batch_reproject(
     points: jax.Array,
     colors: jax.Array,
@@ -100,6 +102,7 @@ def batch_reproject(
     W: int,
     valid: Optional[jax.Array] = None,
     zbuffer_impl: str = "scatter",
+    unit_colors: Optional[bool] = None,
 ) -> jax.Array:
     """Reproject a point cloud into T cameras.
 
@@ -112,12 +115,21 @@ def batch_reproject(
             fused scatter-min for ALL views with 10-bit-quantized depth in
             the key — the fast production path; see
             :func:`reproject_views_packed`).
+        unit_colors: True = colors are [0, 1] (rescaled to 255), False =
+            already [0, 255]. None (default) auto-detects by max value —
+            convenient, but a genuinely near-black [0, 255] cloud (every
+            channel <= 1.0) would be misread as unit-scale and brightened
+            255x, so callers that KNOW their scale should say so (the
+            reward path passes False; ``colored_pointcloud`` emits 0-255).
 
     Returns:
         (T, 3, H, W) float32 frames in [-1, 1] (reference
         ``utils/projection_utils.py:99-101`` normalization).
     """
-    colors = jnp.where(jnp.max(colors) <= 1.0, colors * 255.0, colors)
+    if unit_colors is None:
+        colors = jnp.where(jnp.max(colors) <= 1.0, colors * 255.0, colors)
+    elif unit_colors:
+        colors = colors * 255.0
     if zbuffer_impl == "packed" and points.shape[0] >= (1 << 24):
         # beyond 2^24 points the packed key would keep < 8 depth bits —
         # too coarse a quantum; static shapes make this a trace-time choice
@@ -214,9 +226,12 @@ def reproject_views_packed(
 
     R = extrinsics[:, :3, :3]  # (T, 3, 3)
     t = extrinsics[:, :3, 3]  # (T, 3)
-    # (T, N, 3): world -> camera -> pixel, all views at once (MXU batched)
-    pc_cam = jnp.einsum("nd,tkd->tnk", points, R) + t[:, None, :]
-    pc_proj = jnp.einsum("tnk,tmk->tnm", pc_cam, intrinsics)
+    # (T, N, 3): world -> camera -> pixel, all views at once (MXU batched;
+    # f32 accumulation per the repo matmul policy)
+    pc_cam = jnp.einsum("nd,tkd->tnk", points, R,
+                        preferred_element_type=jnp.float32) + t[:, None, :]
+    pc_proj = jnp.einsum("tnk,tmk->tnm", pc_cam, intrinsics,
+                         preferred_element_type=jnp.float32)
 
     z = pc_proj[..., 2]  # (T, N)
     u = jnp.round(pc_proj[..., 0] / (z + 1e-8)).astype(jnp.int32)
@@ -285,8 +300,10 @@ def project_points_zbuffer_sorted(
     R = E[:3, :3]
     t = E[:3, 3]
 
-    pc_cam = points @ R.T + t
-    pc_proj = pc_cam @ K.T
+    # f32 accumulation per the repo matmul policy (CLAUDE.md): pixel coords
+    # reach ~W, where bf16 ulp is whole pixels
+    pc_cam = jnp.matmul(points, R.T, preferred_element_type=jnp.float32) + t
+    pc_proj = jnp.matmul(pc_cam, K.T, preferred_element_type=jnp.float32)
 
     z = pc_proj[:, 2]
     u = jnp.round(pc_proj[:, 0] / (z + 1e-8)).astype(jnp.int32)

@@ -68,10 +68,9 @@ def depth_to_world_points(
     -> world points (..., H, W, 3)."""
     cam_pts = depth_to_cam_points(depth, intrinsics)
     c2w = closed_form_inverse_se3(extrinsics)
-    R = c2w[..., None, :3, :3]  # (..., 1, 3, 3) for broadcasting over H
     t = c2w[..., None, None, :3, 3]  # (..., 1, 1, 3)
-    # (..., H, W, 3) @ (..., 1, 3, 3)^T
-    return jnp.einsum("...hwj,...ij->...hwi", cam_pts, c2w[..., :3, :3]) + t
+    return jnp.einsum("...hwj,...ij->...hwi", cam_pts, c2w[..., :3, :3],
+                      preferred_element_type=jnp.float32) + t
 
 
 def unproject_depth(

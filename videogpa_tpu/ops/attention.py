@@ -63,7 +63,7 @@ _LN2 = 0.6931471805599453
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
-                *, n_valid, block_k, head_dim, aug, with_lse=True):
+                *, n_valid, nk_pad, block_k, head_dim, aug, with_lse=True):
     """Online-softmax forward, VPU-lean formulation.
 
     The head is VPU-bound at head_dim 64 (the exp/softmax work per MXU flop
@@ -71,8 +71,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
     into q ahead of the kernel (exp2 saves the per-element ln2 multiply);
     when ``aug`` the caller appended a ones-column to V so the softmax
     denominator accumulates inside the PV matmul's otherwise-idle output
-    lanes instead of a separate VPU row-sum; and key masking runs only in
-    the final KV block instead of every step.
+    lanes instead of a separate VPU row-sum; and key masking is compiled in
+    only when the valid prefix is shorter than the padded key length
+    (``nk_pad`` = the grid's block-padded Nk — comparing against it, not
+    ``n_valid % block_k``, keeps zero-pad keys masked even when n_valid is
+    block-aligned, e.g. a ring-attention partial shard padded past it).
     """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -89,7 +92,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
         preferred_element_type=jnp.float32,
     )  # (BQ, BK), base-2 scaled scores
 
-    if n_valid % block_k != 0:  # skip the mask pass when block-aligned
+    if n_valid != nk_pad:  # skip the mask pass when every padded key is valid
         # row-bias formulation: build the (1, BK) mask row cheaply, then one
         # broadcast add — ~3x fewer VPU ops than iota+cmp+select at (BQ, BK)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + j * block_k
@@ -148,8 +151,8 @@ def _flash_fwd(q, k, v, n_valid, block_q, block_k, with_lse=True):
         v_in = v
 
     kernel = functools.partial(
-        _fwd_kernel, n_valid=n_valid, block_k=block_k, head_dim=D, aug=aug,
-        with_lse=with_lse,
+        _fwd_kernel, n_valid=n_valid, nk_pad=_round_up(Nk, block_k),
+        block_k=block_k, head_dim=D, aug=aug, with_lse=with_lse,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
@@ -216,7 +219,7 @@ _LAG_CLAMP = 110.0
 
 
 def _fwd_kernel_T(qt_ref, k_ref, vt_ref, o_ref, jump_ref, lse_ref, acc, m_s,
-                  *, n_valid, block_k, head_dim, with_lse):
+                  *, n_valid, nk_pad, block_k, head_dim, with_lse):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -226,7 +229,7 @@ def _fwd_kernel_T(qt_ref, k_ref, vt_ref, o_ref, jump_ref, lse_ref, acc, m_s,
         k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if n_valid % block_k != 0:  # kv rows in the transposed layout
+    if n_valid != nk_pad:  # kv rows in the transposed layout
         row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) + j * block_k
         s = s + jnp.where(row < n_valid, 0.0, _NEG_INF)
     m_loc = jnp.max(s, axis=0, keepdims=True)  # (1, BQ); overlaps with PV
@@ -310,8 +313,8 @@ def _flash_fwd_T_pre(qt, k, vt, n_valid, block_q, block_k, with_lse=True):
 
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
     kernel = functools.partial(
-        _fwd_kernel_T, n_valid=n_valid, block_k=block_k, head_dim=D,
-        with_lse=with_lse,
+        _fwd_kernel_T, n_valid=n_valid, nk_pad=_round_up(Nk, block_k),
+        block_k=block_k, head_dim=D, with_lse=with_lse,
     )
     in_specs = [
         pl.BlockSpec((1, D, block_q), lambda b, i, j: (b, 0, i)),
@@ -387,7 +390,7 @@ def _flash_fwd_guarded(q, k, v, n_valid, block_q, block_k, with_lse=True):
 
 
 def _fwd_kernel_T_stall(qt_ref, k_ref, vt_ref, o_ref, lse_ref, acc, m_s,
-                        *, n_valid, block_k, head_dim, with_lse):
+                        *, n_valid, nk_pad, block_k, head_dim, with_lse):
     """Transposed-layout ONLINE-softmax forward (no lag, no clamp): exact
     for any input magnitude. This is the exactness fallback behind the
     lagged kernel's 2^110 clamp guard — it stalls on max->exp like the
@@ -403,7 +406,7 @@ def _fwd_kernel_T_stall(qt_ref, k_ref, vt_ref, o_ref, lse_ref, acc, m_s,
         k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BK, BQ)
-    if n_valid % block_k != 0:
+    if n_valid != nk_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) + j * block_k
         s = s + jnp.where(row < n_valid, 0.0, _NEG_INF)
     m_loc = jnp.max(s, axis=0, keepdims=True)  # (1, BQ)
@@ -450,8 +453,8 @@ def _flash_fwd_T_stall_pre(qt, k, vt, n_valid, block_q, block_k,
     D_aug = vt.shape[1]
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
     kernel = functools.partial(
-        _fwd_kernel_T_stall, n_valid=n_valid, block_k=block_k, head_dim=D,
-        with_lse=with_lse,
+        _fwd_kernel_T_stall, n_valid=n_valid, nk_pad=_round_up(Nk, block_k),
+        block_k=block_k, head_dim=D, with_lse=with_lse,
     )
     in_specs = [
         pl.BlockSpec((1, D, block_q), lambda b, i, j: (b, 0, i)),
@@ -635,7 +638,7 @@ def _short_eligible(Nk, H, D, itemsize):
 
 
 def _fwd_kernel_T8(qt_ref, sq_ref, k_ref, sk_ref, vt_ref, o_ref, jump_ref,
-                   acc, m_s, *, n_valid, block_k, head_dim):
+                   acc, m_s, *, n_valid, nk_pad, block_k, head_dim):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -644,7 +647,7 @@ def _fwd_kernel_T8(qt_ref, sq_ref, k_ref, sk_ref, vt_ref, o_ref, jump_ref,
         preferred_element_type=jnp.int32,
     )  # (BK, BQ), int32
     s = s_i.astype(jnp.float32) * sk_ref[0][:, :1] * sq_ref[0][:1]
-    if n_valid % block_k != 0:
+    if n_valid != nk_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) + j * block_k
         s = s + jnp.where(row < n_valid, 0.0, _NEG_INF)
     m_loc = jnp.max(s, axis=0, keepdims=True)
@@ -723,7 +726,8 @@ def _flash_int8(q, k, v, n_valid, block_q, block_k):
 
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
     kernel = functools.partial(
-        _fwd_kernel_T8, n_valid=n_valid, block_k=block_k, head_dim=D
+        _fwd_kernel_T8, n_valid=n_valid, nk_pad=_round_up(Nk, block_k),
+        block_k=block_k, head_dim=D
     )
     out, jumps = pl.pallas_call(
         kernel, grid=grid,
@@ -760,7 +764,7 @@ def _flash_int8(q, k, v, n_valid, block_q, block_k):
 
 
 def _fwd_kernel_i8(q_ref, sq_ref, k_ref, sk_ref, v_ref, o_ref, acc, m_s, l_s,
-                   *, n_valid, block_k):
+                   *, n_valid, nk_pad, block_k):
     """int8-QK online-softmax forward in the classic (lane-full) layout.
 
     Same structure as ``_fwd_kernel`` (the D%128==0 path: no ones-column
@@ -783,7 +787,7 @@ def _fwd_kernel_i8(q_ref, sq_ref, k_ref, sk_ref, v_ref, o_ref, acc, m_s, l_s,
     )  # (BQ, BK), int32
     s = s_i.astype(jnp.float32) * sq_ref[0][:, :1] * sk_ref[0][:1, :]
 
-    if n_valid % block_k != 0:
+    if n_valid != nk_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + j * block_k
         s = s + jnp.where(col < n_valid, 0.0, _NEG_INF)
 
@@ -830,7 +834,8 @@ def _flash_int8_128(q, k, v, n_valid, block_q, block_k):
 
     grid = (BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k))
     kernel = functools.partial(
-        _fwd_kernel_i8, n_valid=n_valid, block_k=block_k
+        _fwd_kernel_i8, n_valid=n_valid, nk_pad=_round_up(Nk, block_k),
+        block_k=block_k
     )
     return pl.pallas_call(
         kernel, grid=grid,
@@ -859,7 +864,7 @@ def _flash_int8_128(q, k, v, n_valid, block_q, block_k):
 # Pallas backward
 # ---------------------------------------------------------------------------
 
-def _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, block_k):
+def _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, nk_pad, block_k):
     """Recompute softmax probs for one (q-block, k-block) tile.
 
     q arrives prescaled by scale*log2(e) and lse in base-2 (see _flash_bwd),
@@ -869,14 +874,14 @@ def _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, block_k):
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if n_valid % block_k != 0:  # row-bias mask, one broadcast add
+    if n_valid != nk_pad:  # row-bias mask, one broadcast add
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1) + j * block_k
         s = s + jnp.where(col < n_valid, 0.0, _NEG_INF)
     return jnp.exp2(s - lse_ref[0][:, :1])
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
-               *, scale, n_valid, block_k):
+               *, scale, n_valid, nk_pad, block_k):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -884,7 +889,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    p = _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, block_k)
+    p = _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, nk_pad, block_k)
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -901,7 +906,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                dk_acc, dv_acc, *, scale, n_valid, block_k):
+                dk_acc, dv_acc, *, scale, n_valid, nk_pad, block_k):
     i = pl.program_id(2)  # q block index (innermost for accumulation)
     nq = pl.num_programs(2)
     j = pl.program_id(1)
@@ -911,7 +916,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    p = _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, block_k)
+    p = _bwd_p(q_ref, k_ref, lse_ref, j, n_valid, nk_pad, block_k)
     pb = p.astype(do_ref.dtype)
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         pb, do_ref[0], (((0,), (0,)), ((), ())),
@@ -944,7 +949,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
 # ---------------------------------------------------------------------------
 
 def _dq_kernel_T(qt_ref, k_ref, v_ref, dot_ref, lse_ref, del_ref, dq_ref, acc,
-                 *, scale, n_valid, block_k):
+                 *, scale, n_valid, nk_pad, block_k):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -956,7 +961,7 @@ def _dq_kernel_T(qt_ref, k_ref, v_ref, dot_ref, lse_ref, del_ref, dq_ref, acc,
         k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BK, BQ)
-    if n_valid % block_k != 0:
+    if n_valid != nk_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, (sT.shape[0], 1), 0) + j * block_k
         sT = sT + jnp.where(row < n_valid, 0.0, _NEG_INF)
     pT = jnp.exp2(sT - lse_ref[0][:1])
@@ -976,7 +981,7 @@ def _dq_kernel_T(qt_ref, k_ref, v_ref, dot_ref, lse_ref, del_ref, dq_ref, acc,
 
 
 def _dkv_kernel_T(qt_ref, k_ref, v_ref, dot_ref, lse_ref, del_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc, *, n_valid, block_k):
+                  dk_ref, dv_ref, dk_acc, dv_acc, *, n_valid, nk_pad, block_k):
     i = pl.program_id(2)
     nq = pl.num_programs(2)
     j = pl.program_id(1)
@@ -990,7 +995,7 @@ def _dkv_kernel_T(qt_ref, k_ref, v_ref, dot_ref, lse_ref, del_ref,
         k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if n_valid % block_k != 0:
+    if n_valid != nk_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, (sT.shape[0], 1), 0) + j * block_k
         sT = sT + jnp.where(row < n_valid, 0.0, _NEG_INF)
     pT = jnp.exp2(sT - lse_ref[0][:1])
@@ -1043,7 +1048,8 @@ def _flash_bwd_T(res, g, block_q, block_k):
         ]
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel_T, scale=scale, n_valid=n_valid, block_k=block_k),
+        functools.partial(_dq_kernel_T, scale=scale, n_valid=n_valid,
+                          nk_pad=_round_up(Nk, block_k), block_k=block_k),
         grid=(BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k)),
         in_specs=specs((0, 1)),
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
@@ -1056,7 +1062,8 @@ def _flash_bwd_T(res, g, block_q, block_k):
     )(qt, k, v, dot_t, lse2, deltaT)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel_T, n_valid=n_valid, block_k=block_k),
+        functools.partial(_dkv_kernel_T, n_valid=n_valid,
+                          nk_pad=_round_up(Nk, block_k), block_k=block_k),
         grid=(BH, pl.cdiv(Nk, block_k), pl.cdiv(N, block_q)),
         in_specs=specs((1, 0)),
         out_specs=[
@@ -1101,7 +1108,8 @@ def _flash_bwd(res, g, block_q, block_k):
     delta = jnp.broadcast_to(delta, delta.shape[:2] + (_LSE_LANES,))
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, n_valid=n_valid, block_k=block_k),
+        functools.partial(_dq_kernel, scale=scale, n_valid=n_valid,
+                          nk_pad=_round_up(Nk, block_k), block_k=block_k),
         grid=(BH, pl.cdiv(N, block_q), pl.cdiv(Nk, block_k)),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
@@ -1121,7 +1129,8 @@ def _flash_bwd(res, g, block_q, block_k):
     )(q, k, v, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, n_valid=n_valid, block_k=block_k),
+        functools.partial(_dkv_kernel, scale=scale, n_valid=n_valid,
+                          nk_pad=_round_up(Nk, block_k), block_k=block_k),
         grid=(BH, pl.cdiv(Nk, block_k), pl.cdiv(N, block_q)),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0)),
@@ -1178,7 +1187,7 @@ def _flash_vjp_fwd(q, k, v, n_valid, block_q, block_k):
 
 
 def _flash_vjp_bwd(n_valid, block_q, block_k, res, g):
-    res = res[:4] + (res[4], n_valid)
+    # res[5] already carries n_valid (stored by _flash_vjp_fwd)
     dq, dk, dv = _flash_bwd(res, g, block_q, block_k)
     return dq, dk, dv
 

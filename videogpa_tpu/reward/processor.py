@@ -164,7 +164,8 @@ class VideoProcessor:
             }
             pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
             reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask,
-                                     zbuffer_impl=zbuffer_impl)
+                                     zbuffer_impl=zbuffer_impl,
+                                     unit_colors=False)
             return {
                 "reprojected": reproj,  # (S, 3, H, W) in [-1, 1]
                 "extrinsic": extr,
@@ -222,7 +223,8 @@ class VideoProcessor:
             }
             pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
             reproj = batch_reproject(pts, cols, intr, extr, H, W, valid=mask,
-                                     zbuffer_impl=zbuffer_impl)
+                                     zbuffer_impl=zbuffer_impl,
+                                     unit_colors=False)
             return {
                 "reprojected": reproj,
                 "extrinsic": extr,
@@ -304,7 +306,8 @@ class VideoProcessor:
                 }
                 pts, cols, mask = colored_pointcloud(squeezed, "depth", conf_thres)
                 return batch_reproject(pts, cols, intr_i, extr_i, H, W, valid=mask,
-                                       zbuffer_impl=zbuffer_impl)
+                                       zbuffer_impl=zbuffer_impl,
+                                     unit_colors=False)
 
             # lax.map, NOT vmap: a K-vmapped z-buffer scatter has a
             # K*10.7 MB destination that spills to HBM and the scalar
