@@ -64,6 +64,47 @@ class TestExport:
         assert gltf["meshes"][0]["primitives"][0]["mode"] == 0  # POINTS
         assert os.path.getsize(path) == total
 
+    def test_glb_viewer_contract(self, prediction, tmp_path):
+        """Decode the glb exactly the way the gallery page's built-in
+        viewer does (gallery.py GALLERY_PAGE ``parseGlbPoints``: header,
+        JSON/BIN chunks, accessors via bufferView byteOffsets, float32
+        VEC3 POSITION + COLOR_0) and check the recovered cloud matches the
+        prediction — guards the export_glb <-> in-page viewer layout
+        contract, which no JS engine exists here to exercise directly."""
+        from videogpa_tpu.models.da3.export import _colors, _world_points, export
+
+        path = export(prediction, "glb", str(tmp_path))
+        raw = open(path, "rb").read()
+        assert struct.unpack_from("<I", raw, 0)[0] == 0x46546C67
+        off, gltf, bin_chunk = 12, None, None
+        while off + 8 <= len(raw):
+            clen, ctype = struct.unpack_from("<II", raw, off)
+            chunk = raw[off + 8 : off + 8 + clen]
+            if ctype == 0x4E4F534A:
+                gltf = json.loads(chunk)
+            elif ctype == 0x004E4942:
+                bin_chunk = chunk
+            off += 8 + clen
+
+        def acc(i):
+            a = gltf["accessors"][i]
+            v = gltf["bufferViews"][a["bufferView"]]
+            start = v.get("byteOffset", 0) + a.get("byteOffset", 0)
+            return np.frombuffer(
+                bin_chunk, np.float32, count=a["count"] * 3, offset=start
+            ).reshape(-1, 3)
+
+        attrs = gltf["meshes"][0]["primitives"][0]["attributes"]
+        pts = acc(attrs["POSITION"])
+        cols = acc(attrs["COLOR_0"])
+        want = _world_points(prediction).reshape(-1, 3) * np.array(
+            [1, -1, -1], np.float32
+        )
+        np.testing.assert_allclose(pts, want, atol=1e-5)
+        np.testing.assert_allclose(
+            cols, _colors(prediction).reshape(-1, 3) / 255.0, atol=1e-6
+        )
+
     def test_colmap(self, prediction, tmp_path):
         from videogpa_tpu.models.da3.export import export
 

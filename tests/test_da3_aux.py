@@ -359,7 +359,11 @@ class TestGalleryServer:
                 return urllib.request.urlopen(base + path, timeout=5)
 
             page = get("/").read().decode()
-            assert "model-viewer" in page and "manifest.json" in page
+            assert "manifest.json" in page
+            # built-in glb point-cloud viewer: present, and the page pulls
+            # NOTHING from the network (works on air-gapped TPU hosts)
+            assert "parseGlbPoints" in page
+            assert "https://" not in page and "http://" not in page
 
             groups = json.loads(get("/manifest.json").read())["groups"]
             assert [g["id"] for g in groups] == ["kitchens", "parks"]

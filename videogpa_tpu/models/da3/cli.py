@@ -135,7 +135,8 @@ def cmd_gallery(args):
 
     With ``--serve``: the interactive two-level group/scene browser
     (``videogpa_tpu.models.da3.gallery``, mirroring the reference's
-    ``services/gallery.py`` server: manifest endpoints + model-viewer page).
+    ``services/gallery.py`` server: manifest endpoints + a dependency-free
+    point-cloud viewer page that parses the export glb client-side).
     Default: write a one-shot static HTML index (no server needed).
     """
     if getattr(args, "serve", False):

@@ -17,11 +17,17 @@ A group is listed when at least one scene has both ``scene.glb`` and
 glb, jpg thumbnail and every image under ``depth_vis/``
 (``gallery.py:668-701``). The embedded page re-creates the reference's
 interaction surface — group grid -> searchable, paginated scene grid
-(16/page) -> viewer overlay with a ``<model-viewer>`` glb stage and a
+(16/page) -> viewer overlay with an interactive 3D point-cloud stage and a
 paginated depth-image strip (4/page), with query-string URL routing so
 views are linkable — as an original, much smaller implementation (the
 reference page is ~600 lines of themed JS; gradio-era styling is out of
-scope here).
+scope here). The 3D stage is a built-in dependency-free viewer: it parses
+the ``export_glb`` layout (POSITION + COLOR_0 float32 accessors, mode
+POINTS — ``export.py``) and renders with a software z-buffer
+(drag-orbit / wheel-zoom / auto-rotate), so the page loads NOTHING from
+the network and works on air-gapped TPU hosts — unlike a CDN
+``<model-viewer>`` tag, and matching the reference app's self-hosted
+viewer capability.
 """
 
 from __future__ import annotations
@@ -106,8 +112,6 @@ GALLERY_PAGE = """<!doctype html>
 <html lang="en"><head><meta charset="utf-8">
 <title>DA3 Gallery</title>
 <meta name="viewport" content="width=device-width, initial-scale=1">
-<script type="module"
-  src="https://unpkg.com/@google/model-viewer/dist/model-viewer.min.js"></script>
 <style>
  body{font:15px/1.5 system-ui,sans-serif;margin:0;background:#111;color:#eee}
  header{padding:14px 20px;border-bottom:1px solid #333;display:flex;
@@ -135,7 +139,8 @@ GALLERY_PAGE = """<!doctype html>
  #overlay.show{display:flex}
  #panel{background:#15151b;border-radius:12px;max-width:980px;width:94%;
         max-height:92vh;overflow:auto;padding:16px}
- #panel model-viewer{width:100%;height:420px;background:#0b0d12}
+ #panel canvas{width:100%;height:420px;background:#0b0d12;display:block;
+               border-radius:8px;cursor:grab;touch-action:none}
  #depths{display:grid;grid-template-columns:repeat(4,1fr);gap:8px;
          margin-top:10px}
  #depths img{width:100%;border-radius:6px}
@@ -148,8 +153,8 @@ GALLERY_PAGE = """<!doctype html>
 <main><div class="pager" id="topPager"></div><div class="grid" id="grid"></div>
 <div class="pager" id="botPager"></div></main>
 <div id="overlay"><div id="panel"><span id="close">&times;</span>
-<h3 id="vtitle"></h3><model-viewer id="mv" camera-controls auto-rotate
- shadow-intensity="1" exposure="0.9"></model-viewer>
+<h3 id="vtitle"></h3><canvas id="mv" height="420"></canvas>
+<div class="muted">drag to orbit &middot; wheel to zoom</div>
 <div class="pager" id="dpager"></div><div id="depths"></div></div></div>
 <script>
 const PER_PAGE = 16, DEPTH_PER_PAGE = 4;
@@ -224,11 +229,139 @@ function renderScenes(page) {
   for (const el of [$('topPager'), $('botPager')])
     pager(el, page, pages, p => renderScenes(p));
 }
+// Built-in glb point-cloud viewer: parses the export_glb layout (POSITION
+// + COLOR_0 float32 VEC3 accessors, mode POINTS — export.py:export_glb)
+// and renders with a software z-buffer. No external scripts, so the
+// gallery works on air-gapped TPU hosts where a CDN is unreachable.
+const viewer = (() => {
+  const cv = $('mv'), ctx = cv.getContext('2d');
+  const MAXPTS = 400000;               // interactivity cap; stride-sampled
+  let px, py, pz, pc, n = 0;           // normalized cloud + ABGR colors
+  let yaw = 0.7, pitch = -0.35, dist = 2.4;
+  let auto = true, raf = 0, tok = 0, msg = '';
+  let img = null, buf32 = null, zb = null;
+  function parseGlbPoints(ab) {
+    const dv = new DataView(ab);
+    if (dv.getUint32(0, true) !== 0x46546C67) throw new Error('not a glb');
+    let off = 12, js = null, bin = null;
+    while (off + 8 <= dv.byteLength) {
+      const len = dv.getUint32(off, true), ty = dv.getUint32(off + 4, true);
+      const chunk = ab.slice(off + 8, off + 8 + len);
+      if (ty === 0x4E4F534A) js = JSON.parse(new TextDecoder().decode(chunk));
+      if (ty === 0x004E4942) bin = chunk;
+      off += 8 + len;
+    }
+    if (!js || !bin) throw new Error('missing glb chunk');
+    const acc = i => {
+      const a = js.accessors[i], v = js.bufferViews[a.bufferView];
+      return new Float32Array(bin, (v.byteOffset || 0) + (a.byteOffset || 0),
+                              a.count * 3);
+    };
+    const at = js.meshes[0].primitives[0].attributes;
+    return [acc(at.POSITION),
+            at.COLOR_0 != null ? acc(at.COLOR_0) : null];
+  }
+  function setCloud(pos, col) {
+    const m = pos.length / 3, stride = Math.max(1, Math.ceil(m / MAXPTS));
+    n = Math.floor((m + stride - 1) / stride);
+    px = new Float32Array(n); py = new Float32Array(n);
+    pz = new Float32Array(n); pc = new Uint32Array(n);
+    let cx = 0, cy = 0, cz = 0;
+    for (let i = 0, j = 0; j < n; i += stride, j++) {
+      px[j] = pos[3*i]; py[j] = pos[3*i+1]; pz[j] = pos[3*i+2];
+      cx += px[j]; cy += py[j]; cz += pz[j];
+      if (col) {
+        const r = Math.min(255, col[3*i] * 255) | 0,
+              g = Math.min(255, col[3*i+1] * 255) | 0,
+              b = Math.min(255, col[3*i+2] * 255) | 0;
+        pc[j] = 0xFF000000 | (b << 16) | (g << 8) | r;
+      } else pc[j] = 0xFFD8D8D8;
+    }
+    cx /= n; cy /= n; cz /= n;
+    let r2 = 1e-9;
+    for (let j = 0; j < n; j++) {
+      px[j] -= cx; py[j] -= cy; pz[j] -= cz;
+      r2 = Math.max(r2, px[j]*px[j] + py[j]*py[j] + pz[j]*pz[j]);
+    }
+    const s = 1 / Math.sqrt(r2);
+    for (let j = 0; j < n; j++) { px[j] *= s; py[j] *= s; pz[j] *= s; }
+  }
+  function frame() {
+    raf = requestAnimationFrame(frame);
+    if (auto) yaw += 0.004;
+    const w = cv.width, h = cv.height;
+    if (!img || img.width !== w || img.height !== h) {
+      img = ctx.createImageData(w, h);
+      buf32 = new Uint32Array(img.data.buffer);
+      zb = new Float32Array(w * h);
+    }
+    buf32.fill(0xFF120D0B);            // #0b0d12 background (ABGR)
+    zb.fill(1e9);
+    const cy = Math.cos(yaw), sy = Math.sin(yaw);
+    const cp = Math.cos(pitch), sp = Math.sin(pitch);
+    const f = 0.9 * Math.min(w, h);
+    for (let i = 0; i < n; i++) {
+      const x1 = cy*px[i] + sy*pz[i], z1 = -sy*px[i] + cy*pz[i];
+      const y1 = cp*py[i] - sp*z1, z2 = sp*py[i] + cp*z1 + dist;
+      if (z2 < 0.15) continue;
+      const sx = (w/2 + f*x1/z2) | 0, syy = (h/2 - f*y1/z2) | 0;
+      if (sx < 0 || sx >= w - 1 || syy < 0 || syy >= h - 1) continue;
+      const c = pc[i];                 // 2x2 z-tested splat
+      let k = syy * w + sx;
+      if (z2 < zb[k]) { zb[k] = z2; buf32[k] = c; }
+      if (z2 < zb[k+1]) { zb[k+1] = z2; buf32[k+1] = c; }
+      k += w;
+      if (z2 < zb[k]) { zb[k] = z2; buf32[k] = c; }
+      if (z2 < zb[k+1]) { zb[k+1] = z2; buf32[k+1] = c; }
+    }
+    ctx.putImageData(img, 0, 0);
+    if (msg) {
+      ctx.fillStyle = '#9ab'; ctx.font = '13px system-ui';
+      ctx.fillText(msg, 12, 22);
+    }
+  }
+  cv.addEventListener('pointerdown', e => {
+    auto = false; cv.setPointerCapture(e.pointerId);
+    cv.style.cursor = 'grabbing';
+    let lx = e.clientX, ly = e.clientY;
+    const mv = ev => {
+      yaw += (ev.clientX - lx) * 0.008;
+      pitch = Math.min(1.5, Math.max(-1.5, pitch + (ev.clientY - ly) * 0.008));
+      lx = ev.clientX; ly = ev.clientY;
+    };
+    const up = () => {
+      cv.style.cursor = 'grab';
+      cv.removeEventListener('pointermove', mv);
+      cv.removeEventListener('pointerup', up);
+    };
+    cv.addEventListener('pointermove', mv);
+    cv.addEventListener('pointerup', up);
+  });
+  cv.addEventListener('wheel', e => {
+    e.preventDefault();
+    dist = Math.min(10, Math.max(0.8, dist * Math.exp(e.deltaY * 0.0012)));
+  }, {passive: false});
+  return {
+    async load(url) {
+      const t = ++tok;
+      n = 0; msg = 'loading\\u2026'; auto = true;
+      cv.width = Math.max(300, cv.clientWidth); cv.height = 420;
+      if (!raf) frame();
+      try {
+        const ab = await (await fetch(url)).arrayBuffer();
+        if (t !== tok) return;
+        setCloud(...parseGlbPoints(ab));
+        msg = '';
+      } catch (err) { if (t === tok) msg = 'viewer: ' + err.message; }
+    },
+    stop() { if (raf) cancelAnimationFrame(raf); raf = 0; n = 0; tok++; },
+  };
+})();
 function openViewer(it) {
   $('vtitle').textContent = it.id;
-  $('mv').src = it.model;
   renderDepths(it, 1);
   $('overlay').classList.add('show');
+  viewer.load(it.model);
 }
 function renderDepths(it, page) {
   const pages = Math.max(1, Math.ceil(it.depth_images.length / DEPTH_PER_PAGE));
@@ -243,7 +376,7 @@ function renderDepths(it, page) {
   pager($('dpager'), page, pages, p => renderDepths(it, p));
 }
 function closeViewer(push) {
-  $('overlay').classList.remove('show'); $('mv').src = '';
+  $('overlay').classList.remove('show'); viewer.stop();
   if (push) setURL({group: curGroup, page: qs().get('page') || 1}, true);
 }
 $('close').onclick = () => closeViewer(true);
